@@ -1,0 +1,116 @@
+"""Native codec round-trips: write mp4 with our encoder, read back with our decoder
+(and cross-check with cv2's independent ffmpeg build when available)."""
+
+import numpy as np
+import pytest
+
+from prisma_tpu.io.video import VideoReader, VideoWriter, get_video_data
+
+RNG = np.random.default_rng(3)
+
+
+def _gradient_frames(n, h, w):
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), (i * 37) % 256, dtype=np.uint8)
+        frames.append(np.stack([r, g, b], axis=-1))
+    return frames
+
+
+def test_roundtrip_rgb(tmp_path):
+    path = str(tmp_path / "t.mp4")
+    frames = _gradient_frames(10, 48, 64)
+    w = VideoWriter(64, 48, 24.0, filename=path, async_encode=True)
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    r = VideoReader(path)
+    assert (r.width, r.height) == (64, 48)
+    assert r.num_frames == 10
+    assert abs(r.fps - 24.0) < 1e-6
+    decoded = list(r)
+    assert len(decoded) == 10
+    # crf=15 is visually lossless; smooth gradients should come back close
+    for orig, dec in zip(frames, decoded):
+        assert np.abs(orig.astype(int) - dec.astype(int)).mean() < 4.0
+    r.close()
+
+
+def test_get_video_data(tmp_path):
+    path = str(tmp_path / "t.mp4")
+    w = VideoWriter(32, 32, 12.5, filename=path)
+    for f in _gradient_frames(5, 32, 32):
+        w.write(f)
+    w.close()
+    width, height, fps, n = get_video_data(path)
+    assert (width, height, n) == (32, 32, 5)
+    assert abs(fps - 12.5) < 0.02
+
+
+def test_odd_dims_rounded_even(tmp_path):
+    path = str(tmp_path / "odd.mp4")
+    w = VideoWriter(63, 47, 24.0, filename=path)
+    assert (w.width, w.height) == (64, 48)  # 2*round(63/2)=64, 2*round(47/2)=48
+    for f in _gradient_frames(3, 47, 63):
+        w.write(f)
+    w.close()
+    r = VideoReader(path)
+    assert (r.width, r.height) == (64, 48)
+    r.close()
+
+
+def test_gray_and_rgba_formats(tmp_path):
+    path = str(tmp_path / "g.mp4")
+    w = VideoWriter(32, 32, 24.0, filename=path, async_encode=False)
+    w.write(np.full((32, 32), 128, np.uint8))            # gray
+    w.write(np.full((32, 32, 4), 128, np.uint8))         # rgba
+    w.write(np.full((32, 32, 3), 300, np.uint16))        # rgb48
+    w.close()
+    r = VideoReader(path)
+    assert r.num_frames == 3
+    frames = list(r)
+    assert len(frames) == 3
+    assert abs(int(frames[0][16, 16, 0]) - 128) <= 3
+
+
+def test_batched_prefetch_reader(tmp_path):
+    path = str(tmp_path / "b.mp4")
+    w = VideoWriter(32, 32, 24.0, filename=path)
+    frames = _gradient_frames(11, 32, 32)
+    for f in frames:
+        w.write(f)
+    w.close()
+    r = VideoReader(path)
+    batches = list(r.batches(4, pad_to_full=True))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 4]
+    assert [b[1] for b in batches] == [4, 4, 3]
+    # padded tail repeats the last frame
+    np.testing.assert_array_equal(batches[-1][0][2], batches[-1][0][3])
+    r.close()
+
+
+def test_cv2_cross_check(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "x.mp4")
+    frames = _gradient_frames(6, 40, 56)
+    w = VideoWriter(56, 40, 24.0, filename=path)
+    for f in frames:
+        w.write(f)
+    w.close()
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        pytest.skip("cv2 lacks ffmpeg video IO")
+    ok, bgr = cap.read()
+    assert ok
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    assert np.abs(rgb.astype(int) - frames[0].astype(int)).mean() < 4.0
+    cap.release()
+
+
+def test_missing_file_raises():
+    with pytest.raises(IOError):
+        VideoReader("/nonexistent/nope.mp4")
