@@ -1,0 +1,197 @@
+"""Orchestrator: image/video -> PRISMA band folder.
+
+Flag-compatible with the reference `process.py` (process.py:76-98), but bands run
+in-process as jitted JAX calls on the device mesh instead of one subprocess per
+band (process.py:60-73). The folder layout, metadata.json and band files match
+the reference byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+# Band tables (reference process.py:17-43)
+DEPTH_VIDEO_DEFAULT = "depth_anything"
+DEPTH_IMAGE_DEFAULT = "depth_patchfusion"
+DEPTH_BANDS = ["depth_midas", "depth_marigold", "depth_zoedepth",
+               "depth_patchfusion", "depth_anything"]
+FLOW_DEFAULT = "flow_gmflow"
+FLOW_BANDS = ["flow_gmflow", "flow_raft"]
+MASK_DEFAULT = "mask_mmdet"
+MASK_BANDS = ["mask_mmdet"]
+
+SUBFOLDERS = {
+    "rgba": "images",
+    "mask_mmdet": "mask",
+    "flow_raft": "flow_raft",
+    "flow_gmflow": "flow_gmflow",
+    "depth_zoedepth": "depth_zoedepth",
+    "depth_midas": "depth_midas",
+    "depth_marigold": "depth_marigold",
+    "depth_patchfusion": "depth_patchfusion",
+    "depth_anything": "depth_anything",
+    "camera_colmap": "sparse",
+}
+
+
+def _implemented_bands():
+    """Registry of runnable bands; grows as model families land."""
+    from prisma_tpu.bands import depth_anything_band
+    return {
+        "depth_anything": depth_anything_band.run,
+    }
+
+
+def run_band(band: str, folder: str, runtime, subpath: bool = False,
+             **kwargs) -> bool:
+    print(f"\n#  {band.upper()}")
+    impl = _implemented_bands().get(band)
+    if impl is None:
+        print(f"[prisma_tpu] band '{band}' not yet implemented; skipping")
+        return False
+    impl(folder, subpath=SUBFOLDERS[band] if subpath else "", runtime=runtime,
+         **kwargs)
+    return True
+
+
+def main(argv=None):
+    from prisma_tpu.bands import rgba as rgba_band
+    from prisma_tpu.bands.base import resolve as resolve_band
+    from prisma_tpu.io.image import get_image_size
+    from prisma_tpu.io.video import get_video_data
+    from prisma_tpu.runtime.config import RuntimeConfig
+    from prisma_tpu.utils import meta
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", "-i", help="input file", type=str, required=True)
+    parser.add_argument("--output", help="folder name", type=str, default="")
+    parser.add_argument("--record3d", help="Record3D video", action="store_true")
+    parser.add_argument("--fps", "-r", help="fix framerate", type=float, default=24)
+    parser.add_argument("--extra", "-e",
+                        help="Save extra data [>0 frames|PLYs; >1 FLOs; >2 NPY]",
+                        type=int, default=0)
+    parser.add_argument("--rgbd", help="Where the depth is", type=str, default=None)
+    parser.add_argument("--depth", "-d", help="Depth bands", type=str, default=None,
+                        choices=DEPTH_BANDS + ["all", "none"])
+    parser.add_argument("--ply", "-p", help="Save ply for images", action="store_true")
+    parser.add_argument("--npy", "-n", help="Save npy version of files",
+                        action="store_true")
+    parser.add_argument("--flow", "-f", help="Flow bands", type=str, default=None,
+                        choices=FLOW_BANDS + ["all", "none"])
+    parser.add_argument("--flo", help="Save flo files for raft", action="store_true")
+    parser.add_argument("--flow_backwards", "-b", help="Save backwards video",
+                        action="store_true")
+    parser.add_argument("--flow_mask", "-m", help="Save mask of videos",
+                        action="store_true")
+    parser.add_argument("--mask", help="Mask band", type=str, default=MASK_DEFAULT,
+                        choices=MASK_BANDS + ["none"])
+    # prisma_tpu extensions
+    parser.add_argument("--batch", help="frames per device step", type=int, default=8)
+    parser.add_argument("--dtype", help="device compute dtype", type=str,
+                        default="bfloat16", choices=["float32", "bfloat16"])
+    parser.add_argument("--random_weights", help="random-init models (smoke runs)",
+                        action="store_true")
+    parser.add_argument("--encoder", help="depth_anything encoder size", type=str,
+                        default="vitl", choices=["vits", "vitb", "vitl"])
+    args = parser.parse_args(argv)
+
+    runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
+                            random_weights=args.random_weights)
+
+    input_path = args.input
+    input_folder = os.path.dirname(input_path)
+    input_basename = os.path.basename(input_path).rsplit(".", 1)[0]
+    folder_name = args.output or os.path.join(input_folder, input_basename)
+
+    data = meta.create_metadata(folder_name)
+    video = meta.is_video(input_path)
+    extension = "mp4" if video else "png"
+    name_rgba = "rgba." + extension
+    path_rgba = os.path.join(folder_name, name_rgba)
+
+    # rgba always runs first, with the images/ subpath (reference process.py:172)
+    meta.add_band(data, "rgba", url=name_rgba)
+    meta.write_metadata(folder_name, data)
+    rgba_io = resolve_band("rgba", input_path, output=path_rgba,
+                           subpath=SUBFOLDERS["rgba"], runtime=runtime,
+                           force_extension="png")
+    rgba_io.data = data
+    rgba_io.meta_root = folder_name
+    rgba_band.run(rgba_io, fps=args.fps, rgbd=args.rgbd or "none")
+    data = meta.load_metadata(folder_name)
+
+    # global media metadata (process.py:175-189)
+    if video:
+        w, h, fps, frames = get_video_data(path_rgba)
+        data["width"], data["height"], data["fps"], data["frames"] = w, h, fps, frames
+        data["duration"] = float(frames) / float(fps)
+    else:
+        data["width"], data["height"] = get_image_size(path_rgba)
+    if "principal_point" not in data:
+        data["principal_point"] = [float(data["width"] / 2), float(data["height"] / 2)]
+    if "focal_length" not in data:
+        data["focal_length"] = float(data["height"] * data["width"]) ** 0.5
+    if "field_of_view" not in data:
+        data["field_of_view"] = (
+            2 * np.arctan(0.5 * data["height"] / data["focal_length"]) * 180 / np.pi)
+    meta.write_metadata(folder_name, data)
+
+    if args.extra > 0:
+        args.ply = True
+    if args.extra > 1:
+        args.flo = True
+    if args.extra > 2:
+        args.npy = True
+
+    # mask
+    if args.mask != "none":
+        run_band(args.mask, folder_name, runtime, subpath=True)
+
+    # depth
+    if args.depth is None:
+        args.depth = DEPTH_VIDEO_DEFAULT if video else DEPTH_IMAGE_DEFAULT
+    depth_kwargs = {"npy": args.npy, "ply": args.ply}
+    ran_depth = {}
+    if args.depth != "none":
+        bands = DEPTH_BANDS if args.depth == "all" else [args.depth]
+        for band in bands:
+            kw = dict(depth_kwargs)
+            if band == "depth_anything":
+                kw["metric"] = "outdoor"  # reference default EXTRA_ARGS (process.py:53)
+                kw["encoder"] = args.encoder
+            ran_depth[band] = run_band(band, folder_name, runtime,
+                                       subpath=bool(args.extra), **kw)
+        if args.rgbd is None:
+            default = (DEPTH_VIDEO_DEFAULT if video else DEPTH_IMAGE_DEFAULT) \
+                if args.depth == "all" else args.depth
+            if ran_depth.get(default):
+                meta.set_default_band(folder_name, "depth", default)
+
+    if video:
+        # flow
+        if args.flow is None:
+            args.flow = FLOW_DEFAULT
+        if args.flow != "none":
+            flow_kwargs = {"backwards": args.flow_backwards, "mask": args.flow_mask}
+            bands = FLOW_BANDS if args.flow == "all" else [args.flow]
+            ran = {b: run_band(b, folder_name, runtime, subpath=args.flo,
+                               **flow_kwargs) for b in bands}
+            default = FLOW_DEFAULT if args.flow == "all" else args.flow
+            if ran.get(default):
+                meta.set_default_band(folder_name, "flow", default)
+                meta.set_default_band(folder_name, "flow_bwd", default + "_bwd")
+                meta.set_default_band(folder_name, "flow_mask", default + "_mask")
+                meta.set_default_band(folder_name, "flow_mask_bwd",
+                                      default + "_mask_bwd")
+        # camera poses
+        run_band("camera_colmap", folder_name, runtime, subpath=True)
+
+    return folder_name
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Small neural-net primitives shared by all model families.
+
+Pure functions over explicit parameter pytrees (nested dicts of arrays), in NHWC
+layout. Matmul-heavy ops take a `precision` so parity tests can run in exact f32
+("highest") while the production path uses the MXU's native bf16 ("default").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def linear(p, x, precision=None):
+    """x @ W + b with W stored [in, out]."""
+    y = jnp.dot(x, p["w"], precision=precision)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv2d(p, x, stride: int = 1, padding: int = 0, precision=None):
+    """NHWC conv with weights stored HWIO."""
+    y = lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv_transpose_blocky(p, x, precision=None):
+    """ConvTranspose2d with kernel_size == stride and no padding.
+
+    Non-overlapping: each input pixel emits a k x k block. Implemented as one
+    einsum + reshape (a single MXU matmul) instead of a transposed convolution.
+    Weights stored [k, k, in, out].
+    """
+    w = p["w"]
+    k = w.shape[0]
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    y = jnp.einsum("bhwc,klco->bhkwlo", x, w, precision=precision)
+    y = y.reshape(B, H * k, W * k, O)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def attention(p, x, num_heads: int, precision=None):
+    """Pre-softmax-scaled multi-head self-attention (DINOv2/timm convention).
+
+    p: {qkv: {w [D, 3D], b}, proj: {w [D, D], b}}. x: [B, N, D].
+    """
+    B, N, D = x.shape
+    qkv = linear(p["qkv"], x, precision=precision)  # [B, N, 3D]
+    qkv = qkv.reshape(B, N, 3, num_heads, D // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
+    scale = (D // num_heads) ** -0.5
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision=precision)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=precision)
+    return linear(p["proj"], out.reshape(B, N, D), precision=precision)
+
+
+def mlp(p, x, precision=None):
+    return linear(p["fc2"], gelu(linear(p["fc1"], x, precision=precision)),
+                  precision=precision)

@@ -1,0 +1,23 @@
+"""Typed runtime configuration (one config tree instead of the reference's three
+coexisting flag systems — SURVEY.md §5 'Config / flag system')."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RuntimeConfig:
+    """Execution knobs shared by all bands."""
+    batch_size: int = 8                  # frames per device step (video)
+    compute_dtype: str = "bfloat16"      # matmul dtype on device
+    overwrite: bool = True               # non-interactive by default (library use)
+    models_dir: str = field(
+        default_factory=lambda: os.environ.get("PRISMA_TPU_MODELS", "models"))
+    random_weights: bool = False         # tests / smoke runs without checkpoints
+    data_parallel: bool = True           # shard the frame batch over the mesh
+
+    def resolve_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.compute_dtype]

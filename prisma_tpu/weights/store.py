@@ -1,0 +1,51 @@
+"""Checkpoint store: locate local converted/raw checkpoints and build params.
+
+The reference fetches weights with download_models.sh + torch.hub/HF at run
+time; this environment has no egress, so weights are resolved from a local
+models/ directory (PRISMA_TPU_MODELS env var or runtime.models_dir):
+
+  depth_anything_{vits,vitb,vitl}14.pt   torch state_dict (HF mixin layout)
+  raft-sintel.pth, gmflow_sintel-*.pth   torch state_dicts
+  ...
+
+With runtime.random_weights=True (tests, smoke benches), models initialize
+randomly instead — same shapes, no files needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from prisma_tpu.runtime.config import RuntimeConfig
+
+
+def _load_torch_state_dict(path: str) -> dict:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    return sd
+
+
+def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
+                        metric: str = "none"):
+    """-> (params, encoder_name). Metric mode falls back to relative until the
+    ZoeDepth metric head lands (tracked in SURVEY.md §7 step 6)."""
+    from prisma_tpu.models import depth_anything as da
+    from prisma_tpu.models import vit as pvit
+    from prisma_tpu.weights.torch_convert import convert_depth_anything
+
+    if runtime.random_weights:
+        return da.init_params(jax.random.key(0), encoder), encoder
+
+    path = os.path.join(runtime.models_dir, f"depth_anything_{encoder}14.pt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path} not found; place the torch state_dict there or "
+            "set runtime.random_weights=True for smoke runs")
+    sd = _load_torch_state_dict(path)
+    depth = pvit.VIT_CONFIGS[encoder].depth
+    return convert_depth_anything(sd, depth=depth), encoder

@@ -1,0 +1,120 @@
+"""Convert torch checkpoints to prisma_tpu parameter pytrees.
+
+Handles the reference's checkpoint formats (SURVEY.md §7 hard part (d)):
+torch hub, HF PyTorchModelHubMixin, raw state_dicts with `module.` DataParallel
+prefixes. Input is a mapping of key -> array-like (torch tensors or numpy).
+
+Layout conventions converted here:
+- torch Linear [out, in]        -> ours [in, out]
+- torch Conv2d [out, in, kh, kw] -> ours HWIO [kh, kw, in, out]
+- torch ConvTranspose2d (k == stride) [in, out, kh, kw] -> ours [kh, kw, in, out]
+- torch patch-embed conv        -> ours flat [kh*kw*in, out] (patchify order kh, kw, c)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_prefix(sd: dict, prefix: str) -> dict:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def _lin(sd, key, dtype):
+    p = {"w": jnp.asarray(_np(sd[key + ".weight"]).T, dtype)}
+    if key + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[key + ".bias"]), dtype)
+    return p
+
+
+def _conv(sd, key, dtype, bias=True):
+    p = {"w": jnp.asarray(_np(sd[key + ".weight"]).transpose(2, 3, 1, 0), dtype)}
+    if bias and key + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[key + ".bias"]), dtype)
+    return p
+
+
+def _convT(sd, key, dtype):
+    # torch ConvTranspose2d weight [in, out, kh, kw] -> [kh, kw, in, out]
+    p = {"w": jnp.asarray(_np(sd[key + ".weight"]).transpose(2, 3, 0, 1), dtype)}
+    if key + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[key + ".bias"]), dtype)
+    return p
+
+
+def _norm(sd, key, dtype):
+    return {"scale": jnp.asarray(_np(sd[key + ".weight"]), dtype),
+            "bias": jnp.asarray(_np(sd[key + ".bias"]), dtype)}
+
+
+def convert_dino_vit(sd: dict, depth: int, dtype=jnp.float32) -> dict:
+    """DINOv2 ViT state_dict (keys: patch_embed.proj, cls_token, pos_embed,
+    blocks.{i}.{norm1,attn.qkv,attn.proj,ls1,norm2,mlp.fc1,mlp.fc2,ls2}, norm)."""
+    pe_w = _np(sd["patch_embed.proj.weight"])  # [D, 3, kh, kw]
+    D = pe_w.shape[0]
+    patch_flat = pe_w.transpose(2, 3, 1, 0).reshape(-1, D)  # (kh, kw, c) order
+    params = {
+        "patch_embed": {"w": jnp.asarray(patch_flat, dtype),
+                        "b": jnp.asarray(_np(sd["patch_embed.proj.bias"]), dtype)},
+        "cls_token": jnp.asarray(_np(sd["cls_token"]), dtype),
+        "pos_embed": jnp.asarray(_np(sd["pos_embed"]), dtype),
+        "norm": _norm(sd, "norm", dtype),
+        "blocks": [],
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "norm1": _norm(sd, b + "norm1", dtype),
+            "attn": {"qkv": _lin(sd, b + "attn.qkv", dtype),
+                     "proj": _lin(sd, b + "attn.proj", dtype)},
+            "ls1": jnp.asarray(_np(sd[b + "ls1.gamma"]), dtype),
+            "norm2": _norm(sd, b + "norm2", dtype),
+            "mlp": {"fc1": _lin(sd, b + "mlp.fc1", dtype),
+                    "fc2": _lin(sd, b + "mlp.fc2", dtype)},
+            "ls2": jnp.asarray(_np(sd[b + "ls2.gamma"]), dtype),
+        })
+    return params
+
+
+def convert_dpt_head(sd: dict, dtype=jnp.float32) -> dict:
+    """DPTHead state_dict (reference dpt.py:22-101 layout, use_clstoken=False)."""
+    params = {
+        "projects": [_conv(sd, f"projects.{i}", dtype) for i in range(4)],
+        "resize0": _convT(sd, "resize_layers.0", dtype),
+        "resize1": _convT(sd, "resize_layers.1", dtype),
+        "resize3": _conv(sd, "resize_layers.3", dtype),
+        "scratch": [_conv(sd, f"scratch.layer{i + 1}_rn", dtype) for i in range(4)],
+        "refinenet": [],
+        "output_conv1": _conv(sd, "scratch.output_conv1", dtype),
+        "output_conv2_0": _conv(sd, "scratch.output_conv2.0", dtype),
+        "output_conv2_2": _conv(sd, "scratch.output_conv2.2", dtype),
+    }
+    for i in range(1, 5):
+        r = f"scratch.refinenet{i}."
+        params["refinenet"].append({
+            "rcu1": {"conv1": _conv(sd, r + "resConfUnit1.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit1.conv2", dtype)},
+            "rcu2": {"conv1": _conv(sd, r + "resConfUnit2.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit2.conv2", dtype)},
+            "out_conv": _conv(sd, r + "out_conv", dtype),
+        })
+    return params
+
+
+def convert_depth_anything(sd: dict, depth: int, dtype=jnp.float32) -> dict:
+    """Full DepthAnything checkpoint: `pretrained.*` ViT + `depth_head.*` DPT."""
+    return {"vit": convert_dino_vit(strip_prefix(sd, "pretrained."), depth, dtype),
+            "dpt": convert_dpt_head(strip_prefix(sd, "depth_head."), dtype)}

@@ -1,0 +1,77 @@
+"""End-to-end CLI test: process.py on a tiny synthetic video and image,
+asserting the reference folder layout + metadata schema (README.md:136-214)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def small_model(monkeypatch):
+    monkeypatch.setenv("PRISMA_DA_TARGET", "126")  # 9x9 ViT grid: fast compile
+
+
+def _make_video(path, frames=5, w=96, h=64):
+    from prisma_tpu.io.video import VideoWriter
+    wr = VideoWriter(w, h, 24.0, filename=path)
+    for i in range(frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        f = np.stack([(xx * 2 + i * 10) % 256, (yy * 3) % 256,
+                      (xx + yy + i * 5) % 256], -1).astype(np.uint8)
+        wr.write(f)
+    wr.close()
+
+
+def test_process_video_e2e(tmp_path):
+    from prisma_tpu.cli.process import main
+    clip = str(tmp_path / "clip.mp4")
+    _make_video(clip)
+    folder = main(["-i", clip, "--random_weights", "--encoder", "vits",
+                   "--batch", "2", "--dtype", "float32",
+                   "--flow", "none", "--mask", "none"])
+
+    files = sorted(os.listdir(folder))
+    assert "rgba.mp4" in files
+    assert "depth_anything.mp4" in files
+    assert "depth_anything_min.csv" in files
+    assert "depth_anything_max.csv" in files
+    assert "metadata.json" in files
+    assert sorted(os.listdir(os.path.join(folder, "images"))) == [
+        f"{i:06d}.png" for i in range(5)]
+
+    meta = json.load(open(os.path.join(folder, "metadata.json")))
+    assert meta["width"] == 96 and meta["height"] == 64
+    assert meta["frames"] == 5 and meta["fps"] == 24.0
+    assert meta["bands"]["depth"] == meta["bands"]["depth_anything"]
+    assert meta["bands"]["depth_anything"]["values"]["min"]["url"] == \
+        "depth_anything_min.csv"
+    assert meta["principal_point"] == [48.0, 32.0]
+
+    mins = open(os.path.join(folder, "depth_anything_min.csv")).read().splitlines()
+    assert len(mins) == 5
+
+    from prisma_tpu.io.video import get_video_data
+    assert get_video_data(os.path.join(folder, "depth_anything.mp4"))[:2] == (96, 64)
+
+
+def test_process_image_e2e(tmp_path):
+    import cv2
+    from prisma_tpu.cli.process import main
+    img_path = str(tmp_path / "photo.jpg")
+    rng = np.random.default_rng(0)
+    cv2.imwrite(img_path, rng.integers(0, 255, size=(48, 72, 3)).astype(np.uint8))
+
+    folder = main(["-i", img_path, "--random_weights", "--encoder", "vits",
+                   "--dtype", "float32", "-d", "depth_anything",
+                   "--mask", "none", "--ply"])
+    files = sorted(os.listdir(folder))
+    assert "rgba.png" in files
+    assert "depth_anything.png" in files
+    assert "depth_anything.ply" in files
+    meta = json.load(open(os.path.join(folder, "metadata.json")))
+    assert meta["bands"]["depth_anything"]["values"]["min"]["type"] == "float"
+    assert "value" in meta["bands"]["depth_anything"]["values"]["min"]
+    img = cv2.imread(os.path.join(folder, "depth_anything.png"))
+    assert img.shape == (48, 72, 3)
