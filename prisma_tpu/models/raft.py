@@ -1,0 +1,351 @@
+"""RAFT optical flow, TPU-native.
+
+Parity target: the reference's vendored RAFT (`bands/raft/raft.py:24-146`,
+`corr.py`, `update.py`, `extractor.py`): BasicEncoder features (instance norm)
+and context (batch norm, eval), all-pairs correlation with a 4-level pyramid and
+radius-4 bilinear window lookup, SepConvGRU iterative refinement, 9-tap convex
+upsampling; fwd+bwd flow in one doubled batch (`flow_raft.py:105-107`).
+
+TPU-first design choices:
+- the refinement loop is a `lax.scan` (compiles once, not 20 unrolled copies);
+- convex upsample + mask head run ONCE after the scan (test-mode output only
+  depends on the final iteration — numerically identical, 20x less mask work);
+- correlation pyramid is materialized as [B*H1*W1, Hl*Wl] matrices and the
+  window lookup is a vectorized bilinear gather (take_along_axis), batched over
+  fwd+bwd pairs; a fused Pallas on-the-fly variant is the planned upgrade for
+  the native `alt_cuda_corr` equivalent (SURVEY.md §2.9 #6);
+- norms are folded: eval-mode BatchNorm becomes a per-channel affine baked at
+  weight-conversion time; InstanceNorm (no affine in torch) is computed inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.ops import nn as pnn
+from prisma_tpu.ops.resize import resize2d
+
+
+@dataclass(frozen=True)
+class RAFTConfig:
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 20
+
+
+# ---------------------------------------------------------------------------
+# Encoder (BasicEncoder: 7x7/2 stem + 3 residual stages -> 1/8, output conv)
+# ---------------------------------------------------------------------------
+
+def _instance_norm(x, eps=1e-5):
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def _apply_norm(p, x, kind: str):
+    if kind == "instance":
+        return _instance_norm(x)
+    if kind == "affine":  # folded eval-mode BatchNorm
+        return x * p["scale"] + p["bias"]
+    if kind == "none":
+        return x
+    raise ValueError(kind)
+
+
+def _resblock(p, x, kind: str, stride: int, precision=None):
+    y = jax.nn.relu(_apply_norm(p.get("norm1"), pnn.conv2d(p["conv1"], x,
+                    stride=stride, padding=1, precision=precision), kind))
+    y = jax.nn.relu(_apply_norm(p.get("norm2"), pnn.conv2d(p["conv2"], y,
+                    padding=1, precision=precision), kind))
+    if stride != 1:
+        x = _apply_norm(p.get("norm3"), pnn.conv2d(p["down"], x, stride=stride,
+                        precision=precision), kind)
+    return jax.nn.relu(x + y)
+
+
+def encoder_forward(p, x, kind: str, precision=None):
+    """BasicEncoder: x [B, H, W, 3] in [-1, 1] -> [B, H/8, W/8, out]."""
+    x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
+    x = jax.nn.relu(_apply_norm(p.get("norm1"), x, kind))
+    for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
+        x = _resblock(p["blocks"][i], x, kind, stride, precision)
+    return pnn.conv2d(p["conv2"], x, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Correlation pyramid + window lookup
+# ---------------------------------------------------------------------------
+
+def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
+    """fmaps [B, H, W, C] -> list of [B*H*W, Hl, Wl] volumes (scaled by 1/sqrt(C))."""
+    B, H, W, C = fmap1.shape
+    corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(B, H * W, C),
+                      fmap2.reshape(B, H * W, C), precision=precision)
+    corr = corr / jnp.sqrt(jnp.float32(C))
+    corr = corr.reshape(B * H * W, H, W)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        N, h, w = corr.shape
+        corr = corr[:, : h - h % 2, : w - w % 2]
+        corr = corr.reshape(N, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        pyramid.append(corr)
+    return pyramid
+
+
+def _bilinear_gather(vol, x, y):
+    """vol [N, H, W], x/y [N, K] pixel coords -> [N, K], zero outside."""
+    N, H, W = vol.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    flat = vol.reshape(N, H * W)
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = jnp.take_along_axis(flat, idx.astype(jnp.int32), axis=1)
+        return vals * w * valid
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    return (corner(x0i, y0i, (1 - fx) * (1 - fy))
+            + corner(x0i + 1, y0i, fx * (1 - fy))
+            + corner(x0i, y0i + 1, (1 - fx) * fy)
+            + corner(x0i + 1, y0i + 1, fx * fy))
+
+
+def corr_lookup(pyramid, coords, radius: int):
+    """coords [B, H1, W1, 2] (x, y) -> [B, H1, W1, levels*(2r+1)^2].
+
+    Window-channel ordering matches the reference quirk (corr.py:37-43): the
+    meshgrid(dy, dx) stack feeds the sampler's (x, y) split, so the x-offset
+    varies over the SLOW window axis.
+    """
+    B, H1, W1, _ = coords.shape
+    r = radius
+    n = 2 * r + 1
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox = jnp.repeat(offs, n)   # slow axis -> x offset (reference ordering)
+    oy = jnp.tile(offs, n)     # fast axis -> y offset
+    cx = coords[..., 0].reshape(B * H1 * W1, 1)
+    cy = coords[..., 1].reshape(B * H1 * W1, 1)
+    out = []
+    for i, vol in enumerate(pyramid):
+        sx = cx / (2 ** i) + ox[None, :]
+        sy = cy / (2 ** i) + oy[None, :]
+        out.append(_bilinear_gather(vol, sx, sy))
+    return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
+
+
+# ---------------------------------------------------------------------------
+# Update block (motion encoder + SepConvGRU + flow head + upsample mask)
+# ---------------------------------------------------------------------------
+
+def _motion_encoder(p, flow, corr, precision=None):
+    cor = jax.nn.relu(pnn.conv2d(p["convc1"], corr, precision=precision))
+    cor = jax.nn.relu(pnn.conv2d(p["convc2"], cor, padding=1, precision=precision))
+    flo = jax.nn.relu(pnn.conv2d(p["convf1"], flow, padding=3, precision=precision))
+    flo = jax.nn.relu(pnn.conv2d(p["convf2"], flo, padding=1, precision=precision))
+    out = jax.nn.relu(pnn.conv2d(p["conv"], jnp.concatenate([cor, flo], -1),
+                                 padding=1, precision=precision))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _conv_1x5(p, x, precision=None):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), [(0, 0), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision) + p["b"]
+
+
+def _conv_5x1(p, x, precision=None):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (1, 1), [(2, 2), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision) + p["b"]
+
+
+def _sep_conv_gru(p, h, x, precision=None):
+    for conv, suffix in ((_conv_1x5, "1"), (_conv_5x1, "2")):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(conv(p["convz" + suffix], hx, precision))
+        r = jax.nn.sigmoid(conv(p["convr" + suffix], hx, precision))
+        q = jnp.tanh(conv(p["convq" + suffix],
+                          jnp.concatenate([r * h, x], -1), precision))
+        h = (1 - z) * h + z * q
+    return h
+
+
+def _flow_head(p, x, precision=None):
+    y = jax.nn.relu(pnn.conv2d(p["conv1"], x, padding=1, precision=precision))
+    return pnn.conv2d(p["conv2"], y, padding=1, precision=precision)
+
+
+def _mask_head(p, net, precision=None):
+    y = jax.nn.relu(pnn.conv2d(p["conv1"], net, padding=1, precision=precision))
+    return 0.25 * pnn.conv2d(p["conv2"], y, precision=precision)
+
+
+def convex_upsample(flow, mask):
+    """flow [B, H, W, 2], mask [B, H, W, 576] -> [B, 8H, 8W, 2].
+
+    mask channel layout follows the torch view(N, 1, 9, 8, 8, H, W): channel
+    c = (k*8 + i)*8 + j with k the 3x3 neighbor (row-major), (i, j) the subpixel.
+    """
+    B, H, W, _ = flow.shape
+    m = mask.reshape(B, H, W, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neighbors = jnp.stack([fp[:, ky:ky + H, kx:kx + W] for ky in range(3)
+                           for kx in range(3)], axis=3)  # [B, H, W, 9, 2]
+    up = jnp.einsum("bhwkij,bhwkc->bhwijc", m, neighbors)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (b, h, i, w, j, c)
+    return up.reshape(B, 8 * H, 8 * W, 2)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
+            iters: int | None = None, precision=None):
+    """image1/2: [B, H, W, 3] float in [0, 255], H and W multiples of 8.
+
+    Returns (flow_lowres [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
+    reference's test_mode outputs (raft.py:143-144).
+    """
+    iters = cfg.iters if iters is None else iters
+    img1 = 2.0 * (image1 / 255.0) - 1.0
+    img2 = 2.0 * (image2 / 255.0) - 1.0
+
+    both = jnp.concatenate([img1, img2], axis=0)
+    fmaps = encoder_forward(params["fnet"], both, "instance", precision)
+    B = image1.shape[0]
+    fmap1, fmap2 = fmaps[:B], fmaps[B:]
+    pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
+
+    cnet = encoder_forward(params["cnet"], img1, "affine", precision)
+    net = jnp.tanh(cnet[..., :cfg.hidden_dim])
+    inp = jax.nn.relu(cnet[..., cfg.hidden_dim:])
+
+    H8, W8 = fmap1.shape[1], fmap1.shape[2]
+    gx, gy = jnp.meshgrid(jnp.arange(W8, dtype=jnp.float32),
+                          jnp.arange(H8, dtype=jnp.float32))
+    coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (B, H8, W8, 2))
+
+    def step(carry, _):
+        net, coords1 = carry
+        corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+        flow = coords1 - coords0
+        motion = _motion_encoder(params["update"]["encoder"], flow, corr, precision)
+        gru_in = jnp.concatenate([inp, motion], axis=-1)
+        net = _sep_conv_gru(params["update"]["gru"], net, gru_in, precision)
+        delta = _flow_head(params["update"]["flow_head"], net, precision)
+        return (net, coords1 + delta), None
+
+    (net, coords1), _ = jax.lax.scan(step, (net, coords0), None, length=iters)
+
+    flow_low = coords1 - coords0
+    up_mask = _mask_head(params["update"]["mask"], net, precision)
+    flow_up = convex_upsample(flow_low, up_mask)
+    return flow_low, flow_up
+
+
+def pad_to_multiple(x, multiple: int = 8):
+    """Sintel-mode InputPadder (common/flow.py:43-61): centered replicate pad."""
+    H, W = x.shape[1], x.shape[2]
+    ph = (-H) % multiple
+    pw = (-W) % multiple
+    top, bottom = ph // 2, ph - ph // 2
+    left, right = pw // 2, pw - pw // 2
+    x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="edge")
+    return x, (top, bottom, left, right)
+
+
+def unpad(x, pads):
+    top, bottom, left, right = pads
+    return x[:, top:x.shape[1] - bottom, left:x.shape[2] - right]
+
+
+def infer_pairs(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
+                iters: int | None = None, precision=None):
+    """Driver-equivalent inference with padding: fwd+bwd in one doubled batch.
+
+    image1/2: [B, H, W, 3] float 0-255 (already scaled by the driver's 0.75).
+    Returns (fwd_flow, bwd_flow) at [B, H, W, 2].
+    """
+    i1, pads = pad_to_multiple(image1)
+    i2, _ = pad_to_multiple(image2)
+    a = jnp.concatenate([i1, i2], axis=0)
+    b = jnp.concatenate([i2, i1], axis=0)
+    _, flow_up = forward(params, a, b, cfg, iters, precision)
+    flow_up = unpad(flow_up, pads)
+    B = image1.shape[0]
+    return flow_up[:B], flow_up[B:]
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests; real weights via weights/torch_convert.convert_raft)
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: RAFTConfig = RAFTConfig(),
+                dtype=jnp.float32) -> dict:
+    rngs = iter(jax.random.split(rng, 128))
+
+    def conv(kh, kw, cin, cout, bias=True):
+        p = {"w": (jax.random.normal(next(rngs), (kh, kw, cin, cout))
+                   * ((kh * kw * cin) ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
+
+    def affine(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    def encoder(out_dim, kind):
+        dims = [(64, 64, 1), (64, 64, 1), (64, 96, 2), (96, 96, 1),
+                (96, 128, 2), (128, 128, 1)]
+        blocks = []
+        for cin, cout, stride in dims:
+            b = {"conv1": conv(3, 3, cin, cout), "conv2": conv(3, 3, cout, cout)}
+            if kind == "affine":
+                b["norm1"] = affine(cout)
+                b["norm2"] = affine(cout)
+            if stride != 1:
+                b["down"] = conv(1, 1, cin, cout)
+                if kind == "affine":
+                    b["norm3"] = affine(cout)
+            blocks.append(b)
+        enc = {"conv1": conv(7, 7, 3, 64), "blocks": blocks,
+               "conv2": conv(1, 1, 128, out_dim)}
+        if kind == "affine":
+            enc["norm1"] = affine(64)
+        return enc
+
+    cor_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+    return {
+        "fnet": encoder(256, "instance"),
+        "cnet": encoder(cfg.hidden_dim + cfg.context_dim, "affine"),
+        "update": {
+            "encoder": {
+                "convc1": conv(1, 1, cor_planes, 256),
+                "convc2": conv(3, 3, 256, 192),
+                "convf1": conv(7, 7, 2, 128),
+                "convf2": conv(3, 3, 128, 64),
+                "conv": conv(3, 3, 256, 126),
+            },
+            "gru": {f"conv{g}1": conv(1, 5, 256 + 128, 128)
+                    for g in "zrq"} | {f"conv{g}2": conv(5, 1, 256 + 128, 128)
+                                       for g in "zrq"},
+            "flow_head": {"conv1": conv(3, 3, 128, 256),
+                          "conv2": conv(3, 3, 256, 2)},
+            "mask": {"conv1": conv(3, 3, 128, 256),
+                     "conv2": conv(1, 1, 256, 576)},
+        },
+    }

@@ -49,3 +49,18 @@ def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
     sd = _load_torch_state_dict(path)
     depth = pvit.VIT_CONFIGS[encoder].depth
     return convert_depth_anything(sd, depth=depth), encoder
+
+
+def load_raft(runtime: RuntimeConfig):
+    """RAFT weights (reference: models/raft-sintel.pth, flow_raft.py:33)."""
+    from prisma_tpu.models import raft as jraft
+    from prisma_tpu.weights.torch_convert import convert_raft
+
+    if runtime.random_weights:
+        return jraft.init_params(jax.random.key(1))
+    path = os.path.join(runtime.models_dir, "raft-sintel.pth")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path} not found; place raft-sintel.pth there or set "
+            "runtime.random_weights=True for smoke runs")
+    return convert_raft(_load_torch_state_dict(path))

@@ -118,3 +118,64 @@ def convert_depth_anything(sd: dict, depth: int, dtype=jnp.float32) -> dict:
     """Full DepthAnything checkpoint: `pretrained.*` ViT + `depth_head.*` DPT."""
     return {"vit": convert_dino_vit(strip_prefix(sd, "pretrained."), depth, dtype),
             "dpt": convert_dpt_head(strip_prefix(sd, "depth_head."), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# RAFT
+# ---------------------------------------------------------------------------
+
+def _fold_bn(sd, key, dtype, eps=1e-5):
+    """Eval-mode BatchNorm2d -> per-channel affine (scale, bias)."""
+    w = _np(sd[key + ".weight"])
+    b = _np(sd[key + ".bias"])
+    rm = _np(sd[key + ".running_mean"])
+    rv = _np(sd[key + ".running_var"])
+    scale = w / np.sqrt(rv + eps)
+    return {"scale": jnp.asarray(scale, dtype),
+            "bias": jnp.asarray(b - rm * scale, dtype)}
+
+
+def convert_raft(sd: dict, dtype=jnp.float32) -> dict:
+    """RAFT checkpoint (module.-prefixed DataParallel state_dict,
+    flow_raft.py:42-44) -> prisma_tpu.models.raft param tree."""
+    sd = strip_prefix(sd, "")
+
+    def encoder(prefix, kind):
+        enc = {"conv1": _conv(sd, prefix + "conv1", dtype),
+               "conv2": _conv(sd, prefix + "conv2", dtype),
+               "blocks": []}
+        if kind == "affine":
+            enc["norm1"] = _fold_bn(sd, prefix + "norm1", dtype)
+        layer_map = [("layer1.0", 1), ("layer1.1", 1), ("layer2.0", 2),
+                     ("layer2.1", 1), ("layer3.0", 2), ("layer3.1", 1)]
+        for name, stride in layer_map:
+            k = f"{prefix}{name}."
+            b = {"conv1": _conv(sd, k + "conv1", dtype),
+                 "conv2": _conv(sd, k + "conv2", dtype)}
+            if kind == "affine":
+                b["norm1"] = _fold_bn(sd, k + "norm1", dtype)
+                b["norm2"] = _fold_bn(sd, k + "norm2", dtype)
+            if stride != 1:
+                b["down"] = _conv(sd, k + "downsample.0", dtype)
+                if kind == "affine":
+                    b["norm3"] = _fold_bn(sd, k + "downsample.1", dtype)
+            enc["blocks"].append(b)
+        return enc
+
+    u = "update_block."
+    return {
+        "fnet": encoder("fnet.", "instance"),
+        "cnet": encoder("cnet.", "affine"),
+        "update": {
+            "encoder": {name: _conv(sd, u + "encoder." + name, dtype)
+                        for name in ("convc1", "convc2", "convf1", "convf2",
+                                     "conv")},
+            "gru": {name: _conv(sd, u + "gru." + name, dtype)
+                    for name in ("convz1", "convr1", "convq1",
+                                 "convz2", "convr2", "convq2")},
+            "flow_head": {"conv1": _conv(sd, u + "flow_head.conv1", dtype),
+                          "conv2": _conv(sd, u + "flow_head.conv2", dtype)},
+            "mask": {"conv1": _conv(sd, u + "mask.0", dtype),
+                     "conv2": _conv(sd, u + "mask.2", dtype)},
+        },
+    }
