@@ -1,0 +1,179 @@
+"""Shared flow-band driver loop (flow_raft / flow_gmflow).
+
+Reference contract (`bands/flow_raft.py`, `bands/flow_gmflow.py` — identical
+driver shape): 0.75x INTER_CUBIC downscale, per consecutive pair fwd (+bwd)
+flow, HSV mp4 (re-upscaled by the encoder), max-disp CSV, optional consistency
+mask videos, optional .flo subpaths, zero-flow last frame, metadata bands.
+
+The model-specific part is a jitted step factory: frames [T+1, h', w', 3] f32
+-> dict of per-pair device outputs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.bands.base import BandIO, resolve
+from prisma_tpu.io.video import VideoReader, VideoWriter
+from prisma_tpu.io.writers import write_csv, write_flo
+from prisma_tpu.ops import encode as enc
+from prisma_tpu.ops.flow import compute_fwdbwd_mask_batch
+from prisma_tpu.ops.resize import resize2d
+from prisma_tpu.runtime.config import RuntimeConfig
+
+
+def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
+                   need_flow: bool):
+    """Wrap a model's infer_pairs into the fused band step (resize + HSV +
+    consistency epilogues)."""
+    dh, dw = ds_hw
+
+    @jax.jit
+    def step(params, frames_u8):
+        frames = frames_u8.astype(jnp.float32)
+        ds = resize2d(frames, (dh, dw), method="cubic")
+        img1, img2 = ds[:-1], ds[1:]
+        fwd, bwd = infer_pairs(params, img1, img2)
+        fwd = fwd.astype(jnp.float32)
+        bwd = bwd.astype(jnp.float32)
+        fwd_rgb, fwd_max = jax.vmap(enc.process_flow)(fwd)
+        out = {"fwd_rgb": fwd_rgb, "max_disp": fwd_max}
+        if need_masks or need_flow:
+            out["fwd"] = fwd
+            out["bwd"] = bwd
+            bwd_rgb, _ = jax.vmap(enc.process_flow)(bwd)
+            out["bwd_rgb"] = bwd_rgb
+        if need_masks:
+            fm, bm = compute_fwdbwd_mask_batch(fwd, bwd)
+            out["fwd_mask"] = fm
+            out["bwd_mask"] = bm
+        return out
+
+    return lambda frames: step(params, frames)
+
+
+def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
+                  output: str = "", subpath: str = "", backwards: bool = False,
+                  mask: bool = False, scale: float = 0.75,
+                  runtime: RuntimeConfig | None = None) -> BandIO:
+    runtime = runtime or RuntimeConfig()
+    io = resolve(band, input_path, output=output, force_extension="mp4",
+                 runtime=runtime)
+    out_base = io.output.rsplit(".", 1)[0]
+
+    flo_dir = ""
+    if subpath:
+        io.set_folder(subpath)
+        flo_dir = os.path.join(io.output_folder, subpath)
+        os.makedirs(flo_dir + "_fwd", exist_ok=True)
+        if backwards:
+            os.makedirs(flo_dir + "_bwd", exist_ok=True)
+
+    params = jax.device_put(params)
+    reader = VideoReader(io.input)
+    W, H, fps = reader.width, reader.height, reader.fps
+    dh, dw = int(round(H * scale)), int(round(W * scale))
+
+    fwd_video = VideoWriter(W, H, fps, filename=io.output)
+    bwd_video = VideoWriter(W, H, fps, filename=out_base + "_bwd.mp4") \
+        if backwards else None
+    fwd_mask_video = bwd_mask_video = None
+    if mask:
+        fwd_mask_video = VideoWriter(W, H, fps,
+                                     filename=os.path.join(io.output_folder,
+                                                           band + "_mask.mp4"))
+        if backwards:
+            bwd_mask_video = VideoWriter(W, H, fps,
+                                         filename=out_base + "_mask_bwd.mp4")
+
+    need_flow = bool(flo_dir) or backwards
+    step = make_flow_step(params, infer_pairs, (dh, dw), mask, need_flow)
+
+    pairs_per_batch = max(1, runtime.batch_size - 1)
+    max_disps: list[float] = []
+    idx = 0
+
+    def emit(out, n_pairs):
+        nonlocal idx
+        fwd_rgb = np.asarray(out["fwd_rgb"])
+        md = np.asarray(out["max_disp"])
+        for b in range(n_pairs):
+            fwd_video.write(fwd_rgb[b])
+            max_disps.append(float(md[b]))
+            if mask:
+                fm = np.asarray(out["fwd_mask"][b])
+                fwd_mask_video.write(np.stack([np.where(fm, 255, 0)] * 3,
+                                              -1).astype(np.uint8))
+                if bwd_mask_video is not None:
+                    bm = np.asarray(out["bwd_mask"][b])
+                    bwd_mask_video.write(np.stack([np.where(bm, 255, 0)] * 3,
+                                                  -1).astype(np.uint8))
+            if backwards and bwd_video is not None:
+                bwd_video.write(np.asarray(out["bwd_rgb"][b]))
+            if flo_dir:
+                write_flo(os.path.join(flo_dir + "_fwd", "%04d.flo" % idx),
+                          np.asarray(out["fwd"][b]))
+                if backwards:
+                    write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx),
+                              np.asarray(out["bwd"][b]))
+            idx += 1
+
+    window: list[np.ndarray] = []
+    for frame in reader:
+        window.append(frame)
+        if len(window) == pairs_per_batch + 1:
+            emit(step(np.stack(window)), pairs_per_batch)
+            window = window[-1:]
+    if len(window) > 1:
+        n_pairs = len(window) - 1
+        while len(window) < pairs_per_batch + 1:
+            window.append(window[-1])
+        emit(step(np.stack(window)), n_pairs)
+
+    # zero-flow last frame (reference flow_raft.py:115-126)
+    zero_flow = np.zeros((H, W, 2), np.float32)
+    zrgb, zmax = enc.process_flow(zero_flow)
+    fwd_video.write(np.asarray(zrgb))
+    max_disps.append(float(zmax))
+    if backwards and bwd_video is not None:
+        bwd_video.write(np.asarray(zrgb))
+    if mask:
+        zm = np.zeros((H, W, 3), np.uint8)
+        fwd_mask_video.write(zm)
+        if bwd_mask_video is not None:
+            bwd_mask_video.write(zm)
+    if flo_dir:
+        write_flo(os.path.join(flo_dir + "_fwd", "%04d.flo" % idx), zero_flow)
+        if backwards:
+            write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx), zero_flow)
+
+    for v in (fwd_video, bwd_video, fwd_mask_video, bwd_mask_video):
+        if v is not None:
+            v.close()
+    reader.close()
+
+    write_csv(out_base + ".csv", max_disps)
+
+    if io.data is not None:
+        io.data["bands"][band] = {
+            "url": band + ".mp4",
+            "values": {"dist": {"type": "float", "url": band + ".csv"}},
+        }
+        if subpath:
+            io.data["bands"][band]["folder"] = subpath
+        if backwards:
+            io.data["bands"][band + "_bwd"] = {"url": band + "_bwd.mp4"}
+            if subpath:
+                io.data["bands"][band + "_bwd"]["folder"] = subpath + "_bwd"
+        if mask:
+            io.data["bands"][band + "_mask"] = {"url": band + "_mask.mp4"}
+            if backwards:
+                io.data["bands"][band + "_mask_bwd"] = {
+                    "url": band + "_mask_bwd.mp4"}
+    io.finish()
+    return io

@@ -40,10 +40,12 @@ SUBFOLDERS = {
 
 def _implemented_bands():
     """Registry of runnable bands; grows as model families land."""
-    from prisma_tpu.bands import depth_anything_band, flow_raft_band
+    from prisma_tpu.bands import (depth_anything_band, flow_gmflow_band,
+                                  flow_raft_band)
     return {
         "depth_anything": depth_anything_band.run,
         "flow_raft": flow_raft_band.run,
+        "flow_gmflow": flow_gmflow_band.run,
     }
 
 

@@ -1,0 +1,357 @@
+"""GMFlow optical flow, TPU-native (the reference's default flow band).
+
+Parity target: the reference's vendored GMFlow (`bands/gmflow/gmflow.py`,
+`transformer.py`, `matching.py`, `backbone.py`, `position.py`, config from
+`flow_gmflow.py:236-245`): single-scale 1/8 CNN encoder (instance norm),
+sine position embedding added inside 2x2 attention splits, 6 swin-style
+self+cross transformer blocks (shifted windows on odd layers), global
+correlation softmax matching (bidirectional via the transposed correlation),
+global flow-propagation self-attention, and RAFT-style convex upsampling.
+
+TPU-first notes:
+- all attention/matching run as batched [L, C] matmuls on the MXU; the
+  [B, HW, HW] global-matching softmax is the documented long-context hot spot
+  (SURVEY.md §5) — at the 0.75-scaled 1080p default, HW = 180*102 and the
+  matrix is ~1.3 GB in f32, held in HBM for exactly one fused
+  softmax-then-matmul pair; a blockwise online-softmax Pallas kernel is the
+  planned upgrade for >1080p inputs;
+- fwd+bwd flow share one correlation computation (transpose trick), then one
+  doubled batch through propagation and upsampling, matching the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.ops import nn as pnn
+from prisma_tpu.models.raft import convex_upsample, pad_to_multiple, unpad
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class GMFlowConfig:
+    feature_channels: int = 128
+    num_transformer_layers: int = 6
+    attn_splits: int = 2
+    ffn_dim_expansion: int = 4
+    upsample_factor: int = 8
+
+
+# ---------------------------------------------------------------------------
+# CNN backbone (1/8, instance-norm residual stages)
+# ---------------------------------------------------------------------------
+
+def _instance_norm(x, eps=1e-5):
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def _resblock(p, x, stride, precision=None):
+    y = jax.nn.relu(_instance_norm(pnn.conv2d(p["conv1"], x, stride=stride,
+                                              padding=1, precision=precision)))
+    y = jax.nn.relu(_instance_norm(pnn.conv2d(p["conv2"], y, padding=1,
+                                              precision=precision)))
+    if "down" in p:
+        x = _instance_norm(pnn.conv2d(p["down"], x, stride=stride,
+                                      precision=precision))
+    return jax.nn.relu(x + y)
+
+
+def backbone_forward(p, x, precision=None):
+    """x [B, H, W, 3] normalized -> [B, H/8, W/8, C]."""
+    x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
+    x = jax.nn.relu(_instance_norm(x))
+    for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
+        x = _resblock(p["blocks"][i], x, stride, precision)
+    return pnn.conv2d(p["conv2"], x, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Position embedding (DETR sine, computed in-window)
+# ---------------------------------------------------------------------------
+
+def sine_pos_embed(h: int, w: int, num_pos_feats: int = 64,
+                   temperature: float = 10000.0) -> np.ndarray:
+    """[h, w, 2*num_pos_feats] numpy constant (y-channels then x-channels)."""
+    y_embed = np.arange(1, h + 1, dtype=np.float32)[:, None] * np.ones((1, w), np.float32)
+    x_embed = np.ones((h, 1), np.float32) * np.arange(1, w + 1, dtype=np.float32)[None, :]
+    eps = 1e-6
+    scale = 2 * math.pi
+    y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+    dim_t = np.arange(num_pos_feats, dtype=np.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    px = x_embed[:, :, None] / dim_t
+    py = y_embed[:, :, None] / dim_t
+    px = np.stack([np.sin(px[:, :, 0::2]), np.cos(px[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    py = np.stack([np.sin(py[:, :, 0::2]), np.cos(py[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    return np.concatenate([py, px], axis=-1)
+
+
+def _split_windows(x, ns: int):
+    """[B, H, W, C] -> [B*ns*ns, H/ns, W/ns, C] (row-major split order)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, ns, H // ns, ns, W // ns, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * ns * ns, H // ns, W // ns, C)
+
+
+def _merge_windows(x, ns: int):
+    Bk, h, w, C = x.shape
+    B = Bk // (ns * ns)
+    x = x.reshape(B, ns, ns, h, w, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, ns * h, ns * w, C)
+
+
+def add_position(feature0, feature1, attn_splits: int):
+    B, H, W, C = feature0.shape
+    if attn_splits > 1:
+        pos = jnp.asarray(sine_pos_embed(H // attn_splits, W // attn_splits,
+                                         C // 2))
+        f0 = _merge_windows(_split_windows(feature0, attn_splits) + pos, attn_splits)
+        f1 = _merge_windows(_split_windows(feature1, attn_splits) + pos, attn_splits)
+        return f0, f1
+    pos = jnp.asarray(sine_pos_embed(H, W, C // 2))
+    return feature0 + pos, feature1 + pos
+
+
+# ---------------------------------------------------------------------------
+# Transformer (swin-style single-head self/cross attention)
+# ---------------------------------------------------------------------------
+
+def shift_window_attn_mask(h: int, w: int, ns: int) -> np.ndarray:
+    """[ns*ns, win, win] additive mask for the shifted-window layers."""
+    wh, ww = h // ns, w // ns
+    sh, sw = wh // 2, ww // 2
+    img = np.zeros((h, w), np.float32)
+    cnt = 0
+    for hs in (slice(0, -wh), slice(-wh, -sh), slice(-sh, None)):
+        for ws in (slice(0, -ww), slice(-ww, -sw), slice(-sw, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(ns, wh, ns, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_attention(q, k, v, h, w, ns: int, mask, precision=None):
+    """Single-head attention in (optionally shifted) ns x ns windows.
+
+    q/k/v: [B, L, C]; mask: [ns*ns, win, win] or None (None => no shift).
+    """
+    B, L, C = q.shape
+    shifted = mask is not None
+
+    def to_win(t):
+        t = t.reshape(B, h, w, C)
+        if shifted:
+            t = jnp.roll(t, (-(h // ns // 2), -(w // ns // 2)), axis=(1, 2))
+        return _split_windows(t, ns).reshape(B * ns * ns, -1, C)
+
+    qw, kw, vw = to_win(q), to_win(k), to_win(v)
+    scores = jnp.einsum("bnc,bmc->bnm", qw, kw, precision=precision) / (C ** 0.5)
+    if shifted:
+        scores = scores + jnp.tile(jnp.asarray(mask), (B, 1, 1))
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
+    out = _merge_windows(out.reshape(B * ns * ns, h // ns, w // ns, C), ns)
+    if shifted:
+        out = jnp.roll(out, (h // ns // 2, w // ns // 2), axis=(1, 2))
+    return out.reshape(B, L, C)
+
+
+def _full_attention(q, k, v, precision=None):
+    C = q.shape[-1]
+    scores = jnp.einsum("bnc,bmc->bnm", q, k, precision=precision) / (C ** 0.5)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnm,bmc->bnc", attn, v, precision=precision)
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return ((x - mu) * jax.lax.rsqrt(var + eps)) * p["scale"] + p["bias"]
+
+
+def _transformer_layer(p, source, target, h, w, ns, mask, no_ffn,
+                       precision=None):
+    q = pnn.linear(p["q"], source, precision=precision)
+    k = pnn.linear(p["k"], target, precision=precision)
+    v = pnn.linear(p["v"], target, precision=precision)
+    if ns > 1:
+        message = _window_attention(q, k, v, h, w, ns, mask, precision)
+    else:
+        message = _full_attention(q, k, v, precision)
+    message = _layer_norm(p["norm1"], pnn.linear(p["merge"], message,
+                                                 precision=precision))
+    if not no_ffn:
+        y = jnp.concatenate([source, message], axis=-1)
+        y = pnn.linear(p["mlp2"], pnn.gelu(pnn.linear(p["mlp1"], y,
+                                                      precision=precision)),
+                       precision=precision)
+        message = _layer_norm(p["norm2"], y)
+    return source + message
+
+
+def transformer_forward(params, feature0, feature1, attn_splits: int,
+                        precision=None):
+    """6 blocks of (windowed self-attn, cross-attn+ffn) over doubled batch."""
+    B, H, W, C = feature0.shape
+    f0 = feature0.reshape(B, H * W, C)
+    f1 = feature1.reshape(B, H * W, C)
+    mask = shift_window_attn_mask(H, W, attn_splits) if attn_splits > 1 else None
+
+    concat0 = jnp.concatenate([f0, f1], axis=0)
+    concat1 = jnp.concatenate([f1, f0], axis=0)
+    for i, bp in enumerate(params["layers"]):
+        shifted = i % 2 == 1
+        m = mask if (shifted and attn_splits > 1) else None
+        concat0 = _transformer_layer(bp["self"], concat0, concat0, H, W,
+                                     attn_splits, m, True, precision)
+        concat0 = _transformer_layer(bp["cross"], concat0, concat1, H, W,
+                                     attn_splits, m, False, precision)
+        half = concat0.shape[0] // 2
+        concat1 = jnp.concatenate([concat0[half:], concat0[:half]], axis=0)
+    half = concat0.shape[0] // 2
+    return (concat0[:half].reshape(B, H, W, C),
+            concat0[half:].reshape(B, H, W, C))
+
+
+# ---------------------------------------------------------------------------
+# Matching + flow propagation + upsample
+# ---------------------------------------------------------------------------
+
+def global_correlation_softmax(feature0, feature1, bidir: bool,
+                               precision=None):
+    """[B, H, W, C] x2 -> flow [B or 2B, H, W, 2] via expected coordinates."""
+    B, H, W, C = feature0.shape
+    f0 = feature0.reshape(B, H * W, C)
+    f1 = feature1.reshape(B, H * W, C)
+    corr = jnp.einsum("bnc,bmc->bnm", f0, f1, precision=precision) / (C ** 0.5)
+    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    grid = jnp.stack([gx, gy], axis=-1).reshape(H * W, 2)
+    if bidir:
+        corr = jnp.concatenate([corr, corr.transpose(0, 2, 1)], axis=0)
+    prob = jax.nn.softmax(corr, axis=-1)
+    corresp = jnp.einsum("bnm,mc->bnc", prob, grid, precision=precision)
+    flow = corresp.reshape(-1, H, W, 2) - grid.reshape(1, H, W, 2)
+    return flow
+
+
+def flow_propagation(p, feature0, flow, precision=None):
+    """Global self-attention with flow as value (reference quirk: the key
+    projection is applied on top of the query projection, transformer.py:357-364)."""
+    B, H, W, C = feature0.shape
+    q = pnn.linear(p["q"], feature0.reshape(B, H * W, C), precision=precision)
+    k = pnn.linear(p["k"], q, precision=precision)
+    v = flow.reshape(B, H * W, 2)
+    scores = jnp.einsum("bnc,bmc->bnm", q, k, precision=precision) / (C ** 0.5)
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnm,bmc->bnc", prob, v,
+                      precision=precision).reshape(B, H, W, 2)
+
+
+def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
+            pred_bidir: bool = True, precision=None):
+    """img0/1 [B, H, W, 3] in [0, 255], H/W multiples of 8 (driver pads /16).
+
+    Returns flow [B or 2B, H, W, 2] (fwd rows first, then bwd when bidir).
+    """
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    n0 = (img0 / 255.0 - mean) / std
+    n1 = (img1 / 255.0 - mean) / std
+
+    B = img0.shape[0]
+    feats = backbone_forward(params["backbone"],
+                             jnp.concatenate([n0, n1], axis=0), precision)
+    feature0, feature1 = feats[:B], feats[B:]
+    feature0, feature1 = add_position(feature0, feature1, cfg.attn_splits)
+    feature0, feature1 = transformer_forward(params["transformer"], feature0,
+                                             feature1, cfg.attn_splits, precision)
+    flow = global_correlation_softmax(feature0, feature1, pred_bidir, precision)
+
+    prop_feat = jnp.concatenate([feature0, feature1], axis=0) if pred_bidir \
+        else feature0
+    flow = flow_propagation(params["flow_attn"], prop_feat, flow, precision)
+
+    concat = jnp.concatenate([flow, prop_feat], axis=-1)
+    y = jax.nn.relu(pnn.conv2d(params["upsampler"]["conv1"], concat, padding=1,
+                               precision=precision))
+    mask = pnn.conv2d(params["upsampler"]["conv2"], y, precision=precision)
+    return convex_upsample(flow, mask)
+
+
+def infer_pairs(params, image1, image2, cfg: GMFlowConfig = GMFlowConfig(),
+                precision=None):
+    """Padded (factor 16) bidirectional inference -> (fwd, bwd) [B, H, W, 2]."""
+    i1, pads = pad_to_multiple(image1, 16)
+    i2, _ = pad_to_multiple(image2, 16)
+    flow = forward(params, i1, i2, cfg, pred_bidir=True, precision=precision)
+    flow = unpad(flow, pads)
+    B = image1.shape[0]
+    return flow[:B], flow[B:]
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests; real weights via weights/torch_convert.convert_gmflow)
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: GMFlowConfig = GMFlowConfig(),
+                dtype=jnp.float32) -> dict:
+    rngs = iter(jax.random.split(rng, 256))
+    C = cfg.feature_channels
+
+    def conv(kh, kw, cin, cout, bias=True):
+        p = {"w": (jax.random.normal(next(rngs), (kh, kw, cin, cout))
+                   * ((kh * kw * cin) ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
+
+    def lin(din, dout, bias=True):
+        p = {"w": (jax.random.normal(next(rngs), (din, dout))
+                   * (din ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype)
+        return p
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    def tlayer(no_ffn):
+        p = {"q": lin(C, C, False), "k": lin(C, C, False), "v": lin(C, C, False),
+             "merge": lin(C, C, False), "norm1": ln(C)}
+        if not no_ffn:
+            p["mlp1"] = lin(2 * C, 2 * C * cfg.ffn_dim_expansion, False)
+            p["mlp2"] = lin(2 * C * cfg.ffn_dim_expansion, C, False)
+            p["norm2"] = ln(C)
+        return p
+
+    dims = [(64, 64, 1), (64, 64, 1), (64, 96, 2), (96, 96, 1), (96, 128, 2),
+            (128, 128, 1)]
+    blocks = []
+    for cin, cout, stride in dims:
+        b = {"conv1": conv(3, 3, cin, cout, False),
+             "conv2": conv(3, 3, cout, cout, False)}
+        if stride != 1 or cin != cout:
+            b["down"] = conv(1, 1, cin, cout)
+        blocks.append(b)
+
+    return {
+        "backbone": {"conv1": conv(7, 7, 3, 64, False), "blocks": blocks,
+                     "conv2": conv(1, 1, 128, C)},
+        "transformer": {"layers": [{"self": tlayer(True), "cross": tlayer(False)}
+                                   for _ in range(cfg.num_transformer_layers)]},
+        "flow_attn": {"q": lin(C, C), "k": lin(C, C)},
+        "upsampler": {"conv1": conv(3, 3, 2 + C, 256),
+                      "conv2": conv(1, 1, 256, cfg.upsample_factor ** 2 * 9)},
+    }

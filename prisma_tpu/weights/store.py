@@ -64,3 +64,19 @@ def load_raft(runtime: RuntimeConfig):
             f"checkpoint {path} not found; place raft-sintel.pth there or set "
             "runtime.random_weights=True for smoke runs")
     return convert_raft(_load_torch_state_dict(path))
+
+
+def load_gmflow(runtime: RuntimeConfig):
+    """GMFlow weights (reference: models/gmflow_sintel-0c07dcb3.pth,
+    flow_gmflow.py:35,60-63 — checkpoint wraps the state_dict under 'model')."""
+    from prisma_tpu.models import gmflow as jgm
+    from prisma_tpu.weights.torch_convert import convert_gmflow
+
+    if runtime.random_weights:
+        return jgm.init_params(jax.random.key(2))
+    path = os.path.join(runtime.models_dir, "gmflow_sintel-0c07dcb3.pth")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path} not found; place the gmflow checkpoint there "
+            "or set runtime.random_weights=True for smoke runs")
+    return convert_gmflow(_load_torch_state_dict(path))

@@ -179,3 +179,50 @@ def convert_raft(sd: dict, dtype=jnp.float32) -> dict:
                      "conv2": _conv(sd, u + "mask.2", dtype)},
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# GMFlow
+# ---------------------------------------------------------------------------
+
+def convert_gmflow(sd: dict, num_layers: int = 6, dtype=jnp.float32) -> dict:
+    """GMFlow checkpoint ('model' sub-dict handled upstream, flow_gmflow.py:60-63)
+    -> prisma_tpu.models.gmflow param tree. InstanceNorms carry no params."""
+    sd = strip_prefix(sd, "")
+
+    def bb_block(name):
+        k = f"backbone.{name}."
+        b = {"conv1": _conv(sd, k + "conv1", dtype),
+             "conv2": _conv(sd, k + "conv2", dtype)}
+        if k + "downsample.0.weight" in sd:
+            b["down"] = _conv(sd, k + "downsample.0", dtype)
+        return b
+
+    def tlayer(prefix, no_ffn):
+        p = {"q": _lin(sd, prefix + "q_proj", dtype),
+             "k": _lin(sd, prefix + "k_proj", dtype),
+             "v": _lin(sd, prefix + "v_proj", dtype),
+             "merge": _lin(sd, prefix + "merge", dtype),
+             "norm1": _norm(sd, prefix + "norm1", dtype)}
+        if not no_ffn:
+            p["mlp1"] = _lin(sd, prefix + "mlp.0", dtype)
+            p["mlp2"] = _lin(sd, prefix + "mlp.2", dtype)
+            p["norm2"] = _norm(sd, prefix + "norm2", dtype)
+        return p
+
+    return {
+        "backbone": {
+            "conv1": _conv(sd, "backbone.conv1", dtype),
+            "blocks": [bb_block(n) for n in ("layer1.0", "layer1.1", "layer2.0",
+                                             "layer2.1", "layer3.0", "layer3.1")],
+            "conv2": _conv(sd, "backbone.conv2", dtype),
+        },
+        "transformer": {"layers": [
+            {"self": tlayer(f"transformer.layers.{i}.self_attn.", True),
+             "cross": tlayer(f"transformer.layers.{i}.cross_attn_ffn.", False)}
+            for i in range(num_layers)]},
+        "flow_attn": {"q": _lin(sd, "feature_flow_attn.q_proj", dtype),
+                      "k": _lin(sd, "feature_flow_attn.k_proj", dtype)},
+        "upsampler": {"conv1": _conv(sd, "upsampler.0", dtype),
+                      "conv2": _conv(sd, "upsampler.2", dtype)},
+    }

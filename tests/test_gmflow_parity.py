@@ -1,0 +1,76 @@
+"""GMFlow numeric parity vs the reference torch implementation (random weights)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from prisma_tpu.models import gmflow as jgm
+from prisma_tpu.weights.torch_convert import convert_gmflow
+
+REF_BANDS = "/root/reference/bands"
+
+
+@pytest.fixture(scope="module")
+def ref_gmflow():
+    if REF_BANDS not in sys.path:
+        sys.path.insert(0, REF_BANDS)
+    torch.manual_seed(0)
+    from gmflow.gmflow import GMFlow
+    model = GMFlow(num_scales=1, upsample_factor=8, feature_channels=128,
+                   attention_type="swin", num_transformer_layers=6,
+                   ffn_dim_expansion=4, num_head=1)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.mul_(0.5)  # tame the default init for a stable oracle
+    model.eval()
+    return model
+
+
+def _ref_forward(model, img0, img1, bidir):
+    t0 = torch.from_numpy(img0.transpose(0, 3, 1, 2))
+    t1 = torch.from_numpy(img1.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out = model(t0, t1, attn_splits_list=[2], corr_radius_list=[-1],
+                    prop_radius_list=[-1], pred_bidir_flow=bidir)
+    return out["flow_preds"][-1].permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_gmflow_forward_parity(ref_gmflow, bidir):
+    H, W = 64, 96
+    rng = np.random.default_rng(2)
+    img0 = rng.uniform(0, 255, size=(1, H, W, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 10, size=img0.shape), 0, 255).astype(np.float32)
+
+    theirs = _ref_forward(ref_gmflow, img0, img1, bidir)
+    params = convert_gmflow(ref_gmflow.state_dict())
+    ours = np.asarray(jgm.forward(params, img0, img1, pred_bidir=bidir,
+                                  precision="highest"))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+def test_sine_pos_embed_matches_reference():
+    if REF_BANDS not in sys.path:
+        sys.path.insert(0, REF_BANDS)
+    from gmflow.position import PositionEmbeddingSine
+    pe = PositionEmbeddingSine(num_pos_feats=64)
+    with torch.no_grad():
+        theirs = pe(torch.zeros(1, 128, 10, 14)).permute(0, 2, 3, 1).numpy()[0]
+    ours = jgm.sine_pos_embed(10, 14, 64)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_shift_window_mask_matches_reference():
+    if REF_BANDS not in sys.path:
+        sys.path.insert(0, REF_BANDS)
+    from gmflow.transformer import generate_shift_window_attn_mask
+    h, w, ns = 16, 24, 2
+    theirs = generate_shift_window_attn_mask(
+        (h, w), h // ns, w // ns, h // ns // 2, w // ns // 2,
+        device=torch.device("cpu")).numpy()
+    ours = jgm.shift_window_attn_mask(h, w, ns)
+    np.testing.assert_array_equal(ours, theirs)
