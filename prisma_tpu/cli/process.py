@@ -41,11 +41,12 @@ SUBFOLDERS = {
 def _implemented_bands():
     """Registry of runnable bands; grows as model families land."""
     from prisma_tpu.bands import (depth_anything_band, flow_gmflow_band,
-                                  flow_raft_band)
+                                  flow_raft_band, mask_band)
     return {
         "depth_anything": depth_anything_band.run,
         "flow_raft": flow_raft_band.run,
         "flow_gmflow": flow_gmflow_band.run,
+        "mask_mmdet": mask_band.run,
     }
 
 
@@ -150,9 +151,9 @@ def main(argv=None):
     if args.extra > 2:
         args.npy = True
 
-    # mask
+    # mask (reference runs it with --sdf, process.py:46-48,207)
     if args.mask != "none":
-        run_band(args.mask, folder_name, runtime, subpath=True)
+        run_band(args.mask, folder_name, runtime, subpath=True, sdf=True)
 
     # depth
     if args.depth is None:

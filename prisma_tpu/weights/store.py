@@ -80,3 +80,22 @@ def load_gmflow(runtime: RuntimeConfig):
             f"checkpoint {path} not found; place the gmflow checkpoint there "
             "or set runtime.random_weights=True for smoke runs")
     return convert_gmflow(_load_torch_state_dict(path))
+
+
+def load_solov2(runtime: RuntimeConfig, cfg=None):
+    """SOLOv2 weights (reference: models/solov2_r101_fpn_3x_coco_*.pth,
+    mask_mmdet.py:27-28 — mmdet checkpoint with 'state_dict')."""
+    from prisma_tpu.models import solov2 as jsolo
+    from prisma_tpu.weights.torch_convert import convert_solov2
+
+    if runtime.random_weights:
+        cfg = cfg or jsolo.SOLOv2Config()
+        return jsolo.init_params(jax.random.key(3), cfg)
+    import glob
+    matches = sorted(glob.glob(os.path.join(
+        runtime.models_dir, "solov2_r101_fpn_3x_coco*.pth")))
+    if not matches:
+        raise FileNotFoundError(
+            f"no solov2_r101_fpn_3x_coco*.pth under {runtime.models_dir}; "
+            "place the mmdet checkpoint there or set runtime.random_weights=True")
+    return convert_solov2(_load_torch_state_dict(matches[0]))

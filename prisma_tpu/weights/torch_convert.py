@@ -226,3 +226,81 @@ def convert_gmflow(sd: dict, num_layers: int = 6, dtype=jnp.float32) -> dict:
         "upsampler": {"conv1": _conv(sd, "upsampler.0", dtype),
                       "conv2": _conv(sd, "upsampler.2", dtype)},
     }
+
+
+# ---------------------------------------------------------------------------
+# SOLOv2 (mmdet checkpoint layout)
+# ---------------------------------------------------------------------------
+
+def convert_resnet(sd: dict, prefix: str, depth: int, dtype=jnp.float32) -> dict:
+    """torchvision/mmdet pytorch-style ResNet with folded BatchNorms."""
+    stages = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
+    params = {"stem": _conv(sd, prefix + "conv1", dtype),
+              "stem_bn": _fold_bn(sd, prefix + "bn1", dtype),
+              "stages": []}
+    for si, nblocks in enumerate(stages):
+        stage = []
+        for bi in range(nblocks):
+            k = f"{prefix}layer{si + 1}.{bi}."
+            block = {"conv1": _conv(sd, k + "conv1", dtype),
+                     "bn1": _fold_bn(sd, k + "bn1", dtype),
+                     "conv2": _conv(sd, k + "conv2", dtype),
+                     "bn2": _fold_bn(sd, k + "bn2", dtype),
+                     "conv3": _conv(sd, k + "conv3", dtype),
+                     "bn3": _fold_bn(sd, k + "bn3", dtype)}
+            if k + "downsample.0.weight" in sd:
+                block["down"] = _conv(sd, k + "downsample.0", dtype)
+                block["down_bn"] = _fold_bn(sd, k + "downsample.1", dtype)
+            stage.append(block)
+        params["stages"].append(stage)
+    return params
+
+
+def _cgn(sd, key, dtype):
+    """mmcv ConvModule with GN: {key}.conv + {key}.gn."""
+    return {"conv": _conv(sd, key + ".conv", dtype),
+            "gn": _norm(sd, key + ".gn", dtype)}
+
+
+def convert_solov2(sd: dict, stacked_convs: int = 4, dtype=jnp.float32) -> dict:
+    """mmdet SOLOv2 checkpoint (state_dict with backbone./neck./mask_head.
+    prefixes) -> prisma_tpu.models.solov2 param tree."""
+    sd = strip_prefix(sd, "")
+    if any(k.startswith("state_dict") for k in sd):
+        sd = sd["state_dict"]
+
+    mh = "mask_head."
+    branches = []
+    for i in range(4):
+        base = f"{mh}mask_feature_head.convs_all_levels.{i}."
+        chain = []
+        j = 0
+        while f"{base}conv{j}.conv.weight" in sd:
+            chain.append(_cgn(sd, f"{base}conv{j}", dtype))
+            j += 1
+        branches.append(chain)
+
+    return {
+        "backbone": convert_resnet(sd, "backbone.", 101, dtype),
+        "fpn": {
+            "lateral": [_conv(sd, f"neck.lateral_convs.{i}.conv", dtype)
+                        for i in range(4)],
+            "out": [_conv(sd, f"neck.fpn_convs.{i}.conv", dtype)
+                    for i in range(4)],
+        },
+        "head": {
+            "mask_feat": {
+                "branches": branches,
+                "pred": {"conv": _conv(sd, mh + "mask_feature_head.conv_pred.conv",
+                                       dtype),
+                         "gn": _norm(sd, mh + "mask_feature_head.conv_pred.gn",
+                                     dtype)},
+            },
+            "kernel_convs": [_cgn(sd, f"{mh}kernel_convs.{i}", dtype)
+                             for i in range(stacked_convs)],
+            "cls_convs": [_cgn(sd, f"{mh}cls_convs.{i}", dtype)
+                          for i in range(stacked_convs)],
+            "conv_kernel": _conv(sd, mh + "conv_kernel", dtype),
+            "conv_cls": _conv(sd, mh + "conv_cls", dtype),
+        },
+    }
