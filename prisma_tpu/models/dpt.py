@@ -72,10 +72,14 @@ def _fusion(p, x, skip=None, size=None, precision=None):
     return pnn.conv2d(p["out_conv"], x, precision=precision)
 
 
-def dpt_head(params: dict, features: list, ph: int, pw: int, precision=None):
+def dpt_head(params: dict, features: list, ph: int, pw: int, precision=None,
+             return_features: bool = False):
     """features: [(patch_tokens [B, N, D], cls)] x4, shallow->deep.
 
     Returns relative depth/disparity [B, 14*ph, 14*pw] (pre final resize).
+    With return_features=True also returns the intermediates the ZoeDepth
+    family hooks into (reference base_models/depth_anything.py:297-318):
+    l4_rn, r4..r1 refinenet outputs, and the 32-channel out_conv activation.
     """
     maps = []
     for i, (tokens, _cls) in enumerate(features):
@@ -102,7 +106,10 @@ def dpt_head(params: dict, features: list, ph: int, pw: int, precision=None):
     out = pnn.conv2d(params["output_conv1"], path1, padding=1, precision=precision)
     out = resize2d(out, (ph * 14, pw * 14), method="linear", align_corners=True)
     out = pnn.conv2d(params["output_conv2_0"], out, padding=1, precision=precision)
+    out_conv_act = jax.nn.relu(out)
+    out = pnn.conv2d(params["output_conv2_2"], out_conv_act, precision=precision)
     out = jax.nn.relu(out)
-    out = pnn.conv2d(params["output_conv2_2"], out, precision=precision)
-    out = jax.nn.relu(out)
+    if return_features:
+        return out[..., 0], {"out_conv": out_conv_act, "l4_rn": l4,
+                             "r4": path4, "r3": path3, "r2": path2, "r1": path1}
     return out[..., 0]

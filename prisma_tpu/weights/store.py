@@ -32,14 +32,42 @@ def _load_torch_state_dict(path: str) -> dict:
 
 def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
                         metric: str = "none"):
-    """-> (params, encoder_name). Metric mode falls back to relative until the
-    ZoeDepth metric head lands (tracked in SURVEY.md §7 step 6)."""
+    """-> (kind, params, encoder_name) with kind in {"relative", "metric"}.
+
+    Relative: HF-mixin state_dict depth_anything_{enc}14.pt. Metric: ZoeDepth-
+    over-DepthAnythingCore checkpoint depth_anything_metric_depth_{mode}.pt
+    (reference depth_anything.py:38-39); always vitl."""
     from prisma_tpu.models import depth_anything as da
     from prisma_tpu.models import vit as pvit
-    from prisma_tpu.weights.torch_convert import convert_depth_anything
+    from prisma_tpu.models import zoedepth as jzoe
+    from prisma_tpu.weights.torch_convert import (convert_depth_anything,
+                                                  convert_metric_depth_anything)
+
+    if metric != "none":
+        if runtime.random_weights:
+            # keep the requested encoder size for cheap smoke runs
+            k1, k2 = jax.random.split(jax.random.key(0))
+            features = {"vits": 64, "vitb": 128, "vitl": 256}[encoder]
+            from prisma_tpu.models import dpt as pdpt
+            from prisma_tpu.models import vit as pvit
+            core = {"vit": pvit.init_params(k1, pvit.VIT_CONFIGS[encoder]),
+                    "dpt": pdpt.init_params(k2, pvit.VIT_CONFIGS[encoder].embed_dim,
+                                            features=features)}
+            params = {"core": core,
+                      "head": jzoe.init_head_params(k2, features)}
+            return "metric", params, encoder
+        encoder = "vitl"  # metric checkpoints are always ViT-L
+        path = os.path.join(runtime.models_dir,
+                            f"depth_anything_metric_depth_{metric}.pt")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"checkpoint {path} not found; place the metric checkpoint "
+                "there or set runtime.random_weights=True")
+        sd = _load_torch_state_dict(path)
+        return "metric", convert_metric_depth_anything(sd, depth=24), encoder
 
     if runtime.random_weights:
-        return da.init_params(jax.random.key(0), encoder), encoder
+        return "relative", da.init_params(jax.random.key(0), encoder), encoder
 
     path = os.path.join(runtime.models_dir, f"depth_anything_{encoder}14.pt")
     if not os.path.exists(path):
@@ -48,7 +76,7 @@ def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
             "set runtime.random_weights=True for smoke runs")
     sd = _load_torch_state_dict(path)
     depth = pvit.VIT_CONFIGS[encoder].depth
-    return convert_depth_anything(sd, depth=depth), encoder
+    return "relative", convert_depth_anything(sd, depth=depth), encoder
 
 
 def load_raft(runtime: RuntimeConfig):

@@ -304,3 +304,44 @@ def convert_solov2(sd: dict, stacked_convs: int = 4, dtype=jnp.float32) -> dict:
             "conv_cls": _conv(sd, mh + "conv_cls", dtype),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# ZoeDepth (metric head; cores converted with the existing ViT/DPT converters)
+# ---------------------------------------------------------------------------
+
+def _mlp2p(sd, key, dtype):
+    """layers' _net Sequential(conv1x1, act, conv1x1, act) -> {fc1, fc2}."""
+    return {"fc1": _conv(sd, key + ".0", dtype), "fc2": _conv(sd, key + ".2", dtype)}
+
+
+def convert_zoedepth_head(sd: dict, dtype=jnp.float32) -> dict:
+    """ZoeDepth bins-head parameters (zoedepth_v1.py:109-125 layout)."""
+    return {
+        "conv2": _conv(sd, "conv2", dtype),
+        "seed_bin_regressor": _mlp2p(sd, "seed_bin_regressor._net", dtype),
+        "seed_projector": _mlp2p(sd, "seed_projector._net", dtype),
+        "projectors": [_mlp2p(sd, f"projectors.{i}._net", dtype)
+                       for i in range(4)],
+        "attractors": [_mlp2p(sd, f"attractors.{i}._net", dtype)
+                       for i in range(4)],
+        "conditional_log_binomial": _mlp2p(sd, "conditional_log_binomial.mlp",
+                                           dtype),
+    }
+
+
+def convert_metric_depth_anything(sd: dict, depth: int = 24,
+                                  dtype=jnp.float32) -> dict:
+    """Metric Depth-Anything checkpoint (ZoeDepth over DepthAnythingCore:
+    core.core.pretrained + core.core.depth_head + bins head)."""
+    sd = strip_prefix(sd, "")
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    core = strip_prefix(sd, "core.core.")
+    return {
+        "core": {"vit": convert_dino_vit(strip_prefix(core, "pretrained."),
+                                         depth, dtype),
+                 "dpt": convert_dpt_head(strip_prefix(core, "depth_head."),
+                                         dtype)},
+        "head": convert_zoedepth_head(sd, dtype),
+    }
