@@ -1,0 +1,137 @@
+"""MiDaS v3 DPT-Large monocular depth, TPU-native.
+
+Behavior target: the torch.hub `intel-isl/MiDaS` `DPT_Large` model used by the
+depth_midas band (`bands/depth_midas.py:34-42`): timm ViT-L/16-384 backbone
+with hooks at blocks (5, 11, 17, 23) and 'project' readout, DPT decoder with
+out_channels (256, 512, 1024, 1024), scale-2 fusion blocks, and the monodepth
+head (conv 256->128, x2 upsample, conv->32, relu, conv->1, relu) producing
+inverse relative depth at input resolution. The hub code is not vendored in
+the reference tree, so this is implemented from the published architecture;
+the weight converter consumes the hub checkpoint's state_dict layout.
+
+Driver semantics (depth_midas.py:50-64): the reference applies the hub
+`default_transform` (upper_bound 384 multiple-of-32 INTER_CUBIC resize +
+ImageNet normalization) even for DPT_Large, then resizes the prediction back
+with bicubic align_corners=True.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from prisma_tpu.models import vit as pvit
+from prisma_tpu.models.dpt import _fusion
+from prisma_tpu.ops import nn as pnn
+from prisma_tpu.ops.resize import dpt_input_size, resize2d
+
+MIDAS_VIT_CONFIG = pvit.ViTConfig(embed_dim=1024, depth=24, num_heads=16,
+                                  patch_size=16, base_img_size=384,
+                                  layerscale=False)
+HOOKS = (5, 11, 17, 23)
+OUT_CHANNELS = (256, 512, 1024, 1024)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _readout_project(p, tokens, cls, precision=None):
+    """'project' readout: cat(token, cls) -> Linear(2D, D) -> GELU."""
+    B, N, D = tokens.shape
+    cls_exp = jnp.broadcast_to(cls[:, None, :], (B, N, D))
+    y = pnn.linear(p, jnp.concatenate([tokens, cls_exp], axis=-1),
+                   precision=precision)
+    return pnn.gelu(y)
+
+
+def forward(params, x, precision=None):
+    """x [B, H, W, 3] normalized, H/W multiples of 32 -> disparity [B, H, W]."""
+    cfg = MIDAS_VIT_CONFIG
+    B, H, W, _ = x.shape
+    ph, pw = H // cfg.patch_size, W // cfg.patch_size
+    feats = pvit.get_intermediate_layers(params["vit"], x, cfg,
+                                         indices=HOOKS, norm=False,
+                                         pos_embed_method="linear",
+                                         precision=precision)
+    maps = []
+    for i, (tokens, cls) in enumerate(feats):
+        y = _readout_project(params["readout"][i], tokens, cls, precision)
+        y = y.reshape(B, ph, pw, -1)
+        y = pnn.conv2d(params["projects"][i], y, precision=precision)
+        if i == 0:
+            y = pnn.conv_transpose_blocky(params["resize0"], y, precision)
+        elif i == 1:
+            y = pnn.conv_transpose_blocky(params["resize1"], y, precision)
+        elif i == 3:
+            y = pnn.conv2d(params["resize3"], y, stride=2, padding=1,
+                           precision=precision)
+        maps.append(y)
+
+    l1, l2, l3, l4 = [pnn.conv2d(params["scratch"][i], m, padding=1,
+                                 precision=precision)
+                      for i, m in enumerate(maps)]
+    r = params["refinenet"]
+    path4 = _fusion(r[3], l4, precision=precision)            # x2 upsample
+    path3 = _fusion(r[2], path4, l3, precision=precision)
+    path2 = _fusion(r[1], path3, l2, precision=precision)
+    path1 = _fusion(r[0], path2, l1, precision=precision)
+
+    out = pnn.conv2d(params["head0"], path1, padding=1, precision=precision)
+    out = resize2d(out, (out.shape[1] * 2, out.shape[2] * 2), method="linear",
+                   align_corners=True)
+    out = jax.nn.relu(pnn.conv2d(params["head2"], out, padding=1,
+                                 precision=precision))
+    out = jax.nn.relu(pnn.conv2d(params["head4"], out, precision=precision))
+    return out[..., 0]
+
+
+def infer(params, frames_u8, precision=None, compute_dtype=jnp.float32,
+          target: int = 384):
+    """Driver-equivalent inference: uint8 [B, H, W, 3] -> disparity [B, H, W]
+    (hub default_transform prep + bicubic ac=True resize-back)."""
+    B, H, W, _ = frames_u8.shape
+    w2, h2 = dpt_input_size(W, H, target=target, multiple=32,
+                            method="upper_bound")
+    img = frames_u8.astype(jnp.float32) / 255.0
+    img = resize2d(img, (h2, w2), method="cubic")
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    img = ((img - mean) / std).astype(compute_dtype)
+    pred = forward(params, img, precision).astype(jnp.float32)
+    return resize2d(pred[..., None], (H, W), method="cubic",
+                    align_corners=True)[..., 0]
+
+
+def init_params(rng: jax.Array, dtype=jnp.float32) -> dict:
+    from prisma_tpu.models import dpt as pdpt
+    cfg = MIDAS_VIT_CONFIG
+    k1, k2, k3 = jax.random.split(rng, 3)
+    vit_params = pvit.init_params(k1, cfg, dtype)
+    for b in vit_params["blocks"]:
+        b.pop("ls1")
+        b.pop("ls2")
+    dpt_params = pdpt.init_params(k2, cfg.embed_dim, features=256,
+                                  out_channels=OUT_CHANNELS, dtype=dtype)
+    D = cfg.embed_dim
+    keys = iter(jax.random.split(k3, 8))
+    readout = [{"w": (jax.random.normal(next(keys), (2 * D, D))
+                      * ((2 * D) ** -0.5)).astype(dtype),
+                "b": jnp.zeros((D,), dtype)} for _ in range(4)]
+
+    def conv(key, kh, kw, cin, cout):
+        return {"w": (jax.random.normal(key, (kh, kw, cin, cout))
+                      * ((kh * kw * cin) ** -0.5)).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    return {
+        "vit": vit_params,
+        "readout": readout,
+        "projects": dpt_params["projects"],
+        "resize0": dpt_params["resize0"],
+        "resize1": dpt_params["resize1"],
+        "resize3": dpt_params["resize3"],
+        "scratch": dpt_params["scratch"],
+        "refinenet": dpt_params["refinenet"],
+        "head0": conv(next(keys), 3, 3, 256, 128),
+        "head2": conv(next(keys), 3, 3, 128, 32),
+        "head4": conv(next(keys), 1, 1, 32, 1),
+    }

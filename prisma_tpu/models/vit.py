@@ -96,17 +96,25 @@ def patch_embed(params, x, patch: int, precision=None):
 
 
 def interpolated_pos_embed(pos_embed: jnp.ndarray, ph: int, pw: int,
-                           cfg: ViTConfig) -> jnp.ndarray:
-    """Bicubic-resample the patch pos-embed grid to (ph, pw); cls stays."""
+                           cfg: ViTConfig, method: str = "cubic") -> jnp.ndarray:
+    """Resample the patch pos-embed grid to (ph, pw); cls stays.
+
+    method='cubic': DINOv2 scale-factor bicubic (w0+0.1 trick).
+    method='linear': MiDaS _resize_pos_embed bilinear (align_corners=False).
+    """
     g = cfg.pos_grid
     if ph == pw == g:
         return pos_embed
     cls_pe = pos_embed[:, :1]
     patch_pe = pos_embed[:, 1:].reshape(1, g, g, -1).transpose(0, 3, 1, 2)
-    off = cfg.interpolate_offset
-    scale = ((ph + off) / g, (pw + off) / g)
-    patch_pe = resize2d_nchw(patch_pe.astype(jnp.float32), (ph, pw),
-                             method="cubic", align_corners=False, scale=scale)
+    if method == "cubic":
+        off = cfg.interpolate_offset
+        scale = ((ph + off) / g, (pw + off) / g)
+        patch_pe = resize2d_nchw(patch_pe.astype(jnp.float32), (ph, pw),
+                                 method="cubic", align_corners=False, scale=scale)
+    else:
+        patch_pe = resize2d_nchw(patch_pe.astype(jnp.float32), (ph, pw),
+                                 method="linear", align_corners=False)
     patch_pe = patch_pe.transpose(0, 2, 3, 1).reshape(1, ph * pw, -1)
     return jnp.concatenate([cls_pe, patch_pe.astype(pos_embed.dtype)], axis=1)
 
@@ -114,27 +122,36 @@ def interpolated_pos_embed(pos_embed: jnp.ndarray, ph: int, pw: int,
 def block_forward(p, x, num_heads: int, precision=None):
     y = pnn.attention(p["attn"], pnn.layer_norm(p["norm1"], x), num_heads,
                       precision=precision)
-    x = x + p["ls1"] * y
+    x = x + (p["ls1"] * y if "ls1" in p else y)  # LayerScale optional (timm ViT)
     y = pnn.mlp(p["mlp"], pnn.layer_norm(p["norm2"], x), precision=precision)
-    return x + p["ls2"] * y
+    return x + (p["ls2"] * y if "ls2" in p else y)
 
 
 def get_intermediate_layers(params: dict, x: jnp.ndarray, cfg: ViTConfig,
-                            n: int = 4, precision=None):
-    """Run the ViT, returning [(patch_tokens, cls_token)] for the last n blocks,
-    each through the final LayerNorm (reference semantics, norm=True)."""
+                            n: int = 4, indices=None, norm: bool = True,
+                            pos_embed_method: str = "cubic", precision=None):
+    """Run the ViT, returning [(patch_tokens, cls_token)] for selected blocks.
+
+    Default (DINOv2 semantics): the last n blocks, each through the final
+    LayerNorm. With explicit `indices` + norm=False this also serves timm-style
+    forward hooks (MiDaS DPT: raw block outputs at fixed indices).
+    pos_embed_method: 'cubic' (DINOv2 scale-factor bicubic) or 'linear'
+    (MiDaS _resize_pos_embed bilinear).
+    """
     B, H, W, _ = x.shape
     ph, pw = H // cfg.patch_size, W // cfg.patch_size
     tokens = patch_embed(params["patch_embed"], x, cfg.patch_size, precision)
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.embed_dim))
     tokens = jnp.concatenate([cls.astype(tokens.dtype), tokens], axis=1)
-    tokens = tokens + interpolated_pos_embed(params["pos_embed"], ph, pw, cfg)
+    tokens = tokens + interpolated_pos_embed(params["pos_embed"], ph, pw, cfg,
+                                             method=pos_embed_method)
 
+    take = set(indices) if indices is not None \
+        else set(range(cfg.depth - n, cfg.depth))
     outputs = []
-    take_from = cfg.depth - n
     for i, bp in enumerate(params["blocks"]):
         tokens = block_forward(bp, tokens, cfg.num_heads, precision)
-        if i >= take_from:
-            normed = pnn.layer_norm(params["norm"], tokens)
-            outputs.append((normed[:, 1:], normed[:, 0]))
+        if i in take:
+            out = pnn.layer_norm(params["norm"], tokens) if norm else tokens
+            outputs.append((out[:, 1:], out[:, 0]))
     return outputs

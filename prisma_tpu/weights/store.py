@@ -127,3 +127,22 @@ def load_solov2(runtime: RuntimeConfig, cfg=None):
             f"no solov2_r101_fpn_3x_coco*.pth under {runtime.models_dir}; "
             "place the mmdet checkpoint there or set runtime.random_weights=True")
     return convert_solov2(_load_torch_state_dict(matches[0]))
+
+
+def load_midas(runtime: RuntimeConfig, model_version: str = "midas3"):
+    """MiDaS DPT-Large weights (hub checkpoint dpt_large_384.pt)."""
+    from prisma_tpu.models import midas as jmidas
+    from prisma_tpu.weights.torch_convert import convert_midas_dpt
+
+    if model_version != "midas3":
+        print(f"[depth_midas] model_version '{model_version}' not yet "
+              "available; using midas3 (DPT_Large)")
+    if runtime.random_weights:
+        return jmidas.init_params(jax.random.key(4))
+    for name in ("dpt_large_384.pt", "dpt_large-midas-2f21e586.pt"):
+        path = os.path.join(runtime.models_dir, name)
+        if os.path.exists(path):
+            return convert_midas_dpt(_load_torch_state_dict(path))
+    raise FileNotFoundError(
+        f"no MiDaS DPT_Large checkpoint under {runtime.models_dir}; place "
+        "dpt_large_384.pt there or set runtime.random_weights=True")

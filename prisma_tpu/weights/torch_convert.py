@@ -345,3 +345,64 @@ def convert_metric_depth_anything(sd: dict, depth: int = 24,
                                          dtype)},
         "head": convert_zoedepth_head(sd, dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# MiDaS DPT-Large (hub checkpoint layout: pretrained.model.* + pretrained.
+# act_postprocess{1..4}.* + scratch.*)
+# ---------------------------------------------------------------------------
+
+def convert_midas_dpt(sd: dict, dtype=jnp.float32) -> dict:
+    sd = strip_prefix(sd, "")
+
+    vit_sd = strip_prefix(sd, "pretrained.model.")
+    pe_w = _np(vit_sd["patch_embed.proj.weight"])
+    D = pe_w.shape[0]
+    vit = {
+        "patch_embed": {"w": jnp.asarray(
+            pe_w.transpose(2, 3, 1, 0).reshape(-1, D), dtype),
+            "b": jnp.asarray(_np(vit_sd["patch_embed.proj.bias"]), dtype)},
+        "cls_token": jnp.asarray(_np(vit_sd["cls_token"]), dtype),
+        "pos_embed": jnp.asarray(_np(vit_sd["pos_embed"]), dtype),
+        "norm": _norm(vit_sd, "norm", dtype),
+        "blocks": [],
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in vit_sd:
+        b = f"blocks.{i}."
+        vit["blocks"].append({
+            "norm1": _norm(vit_sd, b + "norm1", dtype),
+            "attn": {"qkv": _lin(vit_sd, b + "attn.qkv", dtype),
+                     "proj": _lin(vit_sd, b + "attn.proj", dtype)},
+            "norm2": _norm(vit_sd, b + "norm2", dtype),
+            "mlp": {"fc1": _lin(vit_sd, b + "mlp.fc1", dtype),
+                    "fc2": _lin(vit_sd, b + "mlp.fc2", dtype)},
+        })
+        i += 1
+
+    params = {
+        "vit": vit,
+        "readout": [_lin(sd, f"pretrained.act_postprocess{i}.0.project.0", dtype)
+                    for i in range(1, 5)],
+        "projects": [_conv(sd, f"pretrained.act_postprocess{i}.3", dtype)
+                     for i in range(1, 5)],
+        "resize0": _convT(sd, "pretrained.act_postprocess1.4", dtype),
+        "resize1": _convT(sd, "pretrained.act_postprocess2.4", dtype),
+        "resize3": _conv(sd, "pretrained.act_postprocess4.4", dtype),
+        "scratch": [_conv(sd, f"scratch.layer{i}_rn", dtype)
+                    for i in range(1, 5)],
+        "refinenet": [],
+        "head0": _conv(sd, "scratch.output_conv.0", dtype),
+        "head2": _conv(sd, "scratch.output_conv.2", dtype),
+        "head4": _conv(sd, "scratch.output_conv.4", dtype),
+    }
+    for i in range(1, 5):
+        r = f"scratch.refinenet{i}."
+        params["refinenet"].append({
+            "rcu1": {"conv1": _conv(sd, r + "resConfUnit1.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit1.conv2", dtype)},
+            "rcu2": {"conv1": _conv(sd, r + "resConfUnit2.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit2.conv2", dtype)},
+            "out_conv": _conv(sd, r + "out_conv", dtype),
+        })
+    return params
