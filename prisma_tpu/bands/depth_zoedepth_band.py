@@ -1,0 +1,43 @@
+"""depth_zoedepth band driver: ZoeD_N metric depth on TPU.
+
+Reference: `bands/depth_zoedepth.py` — model.infer_pil (pad + flip augmented),
+metric output, NO flip on write (depth_zoedepth.py:56,100-171).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from prisma_tpu.bands import depth_base
+from prisma_tpu.bands.base import BandIO, resolve
+from prisma_tpu.bands.depth_anything_band import _make_step
+from prisma_tpu.models import zoed as jzoed
+from prisma_tpu.runtime.config import RuntimeConfig
+from prisma_tpu.weights.store import load_zoed
+
+BAND = "depth_zoedepth"
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        npy: bool = False, ply: bool = False,
+        runtime: RuntimeConfig | None = None) -> BandIO:
+    runtime = runtime or RuntimeConfig()
+    io = resolve(BAND, input_path, output=output, subpath=subpath,
+                 force_extension="png", runtime=runtime)
+    params = load_zoed(runtime)
+    dtype = runtime.resolve_dtype()
+    infer = functools.partial(jzoed.infer, compute_dtype=dtype)
+    flip = False  # metric depth
+
+    if io.is_video():
+        need_depth = bool(io.subpath) or npy
+        step = _make_step(params, infer, flip, need_depth)
+        depth_base.run_video(io, step, flip=flip, npy=npy)
+    else:
+        params_dev = jax.device_put(params)
+        jinfer = jax.jit(infer)
+        depth_base.run_image(io, lambda f: jinfer(params_dev, f), flip=flip,
+                             npy=npy, ply=ply)
+    return io

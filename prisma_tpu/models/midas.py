@@ -43,8 +43,12 @@ def _readout_project(p, tokens, cls, precision=None):
     return pnn.gelu(y)
 
 
-def forward(params, x, precision=None):
-    """x [B, H, W, 3] normalized, H/W multiples of 32 -> disparity [B, H, W]."""
+def forward(params, x, precision=None, return_features: bool = False):
+    """x [B, H, W, 3] normalized, H/W multiples of 32 -> disparity [B, H, W].
+
+    return_features exposes the MidasCore hook set (out_conv/l4_rn/r4..r1,
+    reference base_models/midas.py:297-318) for the ZoeDepth family.
+    """
     cfg = MIDAS_VIT_CONFIG
     B, H, W, _ = x.shape
     ph, pw = H // cfg.patch_size, W // cfg.patch_size
@@ -52,6 +56,14 @@ def forward(params, x, precision=None):
                                          indices=HOOKS, norm=False,
                                          pos_embed_method="linear",
                                          precision=precision)
+    return decoder_forward(params, feats, (B, ph, pw), precision,
+                           return_features)
+
+
+def decoder_forward(params, feats, bpw, precision=None,
+                    return_features: bool = False):
+    """Shared MiDaS DPT decoder over hooked backbone features (ViT or BEiT)."""
+    B, ph, pw = bpw
     maps = []
     for i, (tokens, cls) in enumerate(feats):
         y = _readout_project(params["readout"][i], tokens, cls, precision)
@@ -78,9 +90,14 @@ def forward(params, x, precision=None):
     out = pnn.conv2d(params["head0"], path1, padding=1, precision=precision)
     out = resize2d(out, (out.shape[1] * 2, out.shape[2] * 2), method="linear",
                    align_corners=True)
-    out = jax.nn.relu(pnn.conv2d(params["head2"], out, padding=1,
+    out_conv_act = jax.nn.relu(pnn.conv2d(params["head2"], out, padding=1,
+                                          precision=precision))
+    out = jax.nn.relu(pnn.conv2d(params["head4"], out_conv_act,
                                  precision=precision))
-    out = jax.nn.relu(pnn.conv2d(params["head4"], out, precision=precision))
+    if return_features:
+        return out[..., 0], {"out_conv": out_conv_act, "l4_rn": l4,
+                             "r4": path4, "r3": path3, "r2": path2,
+                             "r1": path1}
     return out[..., 0]
 
 

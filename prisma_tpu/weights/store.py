@@ -146,3 +146,19 @@ def load_midas(runtime: RuntimeConfig, model_version: str = "midas3"):
     raise FileNotFoundError(
         f"no MiDaS DPT_Large checkpoint under {runtime.models_dir}; place "
         "dpt_large_384.pt there or set runtime.random_weights=True")
+
+
+def load_zoed(runtime: RuntimeConfig):
+    """ZoeD_N weights (hub release ZoeD_M12_N.pt)."""
+    from prisma_tpu.models import zoed as jzoed
+    from prisma_tpu.weights.torch_convert import convert_zoed
+
+    if runtime.random_weights:
+        depth = int(os.environ.get("PRISMA_ZOED_DEPTH", "24"))
+        return jzoed.init_params(jax.random.key(5), depth=depth)
+    path = os.path.join(runtime.models_dir, "ZoeD_M12_N.pt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path} not found; place ZoeD_M12_N.pt there or set "
+            "runtime.random_weights=True for smoke runs")
+    return convert_zoed(_load_torch_state_dict(path))

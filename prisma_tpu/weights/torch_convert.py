@@ -406,3 +406,87 @@ def convert_midas_dpt(sd: dict, dtype=jnp.float32) -> dict:
             "out_conv": _conv(sd, r + "out_conv", dtype),
         })
     return params
+
+
+# ---------------------------------------------------------------------------
+# ZoeD_N (BEiT-L MidasCore + bins head)
+# ---------------------------------------------------------------------------
+
+def _convert_beit(vit_sd: dict, dtype=jnp.float32) -> dict:
+    """timm BEiT state_dict (pretrained.model.*-stripped) -> beit param tree."""
+    pe_w = _np(vit_sd["patch_embed.proj.weight"])
+    D = pe_w.shape[0]
+    params = {
+        "patch_embed": {"w": jnp.asarray(
+            pe_w.transpose(2, 3, 1, 0).reshape(-1, D), dtype),
+            "b": jnp.asarray(_np(vit_sd["patch_embed.proj.bias"]), dtype)},
+        "cls_token": jnp.asarray(_np(vit_sd["cls_token"]), dtype),
+        "blocks": [],
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in vit_sd:
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "norm1": _norm(vit_sd, b + "norm1", dtype),
+            "attn": {
+                "qkv_w": jnp.asarray(_np(vit_sd[b + "attn.qkv.weight"]).T, dtype),
+                "q_bias": jnp.asarray(_np(vit_sd[b + "attn.q_bias"]), dtype),
+                "v_bias": jnp.asarray(_np(vit_sd[b + "attn.v_bias"]), dtype),
+                "proj": _lin(vit_sd, b + "attn.proj", dtype),
+            },
+            "rel_pos_table": jnp.asarray(
+                _np(vit_sd[b + "attn.relative_position_bias_table"]), dtype),
+            "gamma1": jnp.asarray(_np(vit_sd[b + "gamma_1"]), dtype),
+            "norm2": _norm(vit_sd, b + "norm2", dtype),
+            "mlp": {"fc1": _lin(vit_sd, b + "mlp.fc1", dtype),
+                    "fc2": _lin(vit_sd, b + "mlp.fc2", dtype)},
+            "gamma2": jnp.asarray(_np(vit_sd[b + "gamma_2"]), dtype),
+        })
+        i += 1
+    return params
+
+
+def _convert_midas_decoder(sd: dict, dtype=jnp.float32) -> dict:
+    """MiDaS DPT decoder (readout/act_postprocess/scratch) without backbone."""
+    params = {
+        "readout": [_lin(sd, f"pretrained.act_postprocess{i}.0.project.0", dtype)
+                    for i in range(1, 5)],
+        "projects": [_conv(sd, f"pretrained.act_postprocess{i}.3", dtype)
+                     for i in range(1, 5)],
+        "resize0": _convT(sd, "pretrained.act_postprocess1.4", dtype),
+        "resize1": _convT(sd, "pretrained.act_postprocess2.4", dtype),
+        "resize3": _conv(sd, "pretrained.act_postprocess4.4", dtype),
+        "scratch": [_conv(sd, f"scratch.layer{i}_rn", dtype)
+                    for i in range(1, 5)],
+        "refinenet": [],
+        "head0": _conv(sd, "scratch.output_conv.0", dtype),
+        "head2": _conv(sd, "scratch.output_conv.2", dtype),
+        "head4": _conv(sd, "scratch.output_conv.4", dtype),
+    }
+    for i in range(1, 5):
+        r = f"scratch.refinenet{i}."
+        params["refinenet"].append({
+            "rcu1": {"conv1": _conv(sd, r + "resConfUnit1.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit1.conv2", dtype)},
+            "rcu2": {"conv1": _conv(sd, r + "resConfUnit2.conv1", dtype),
+                     "conv2": _conv(sd, r + "resConfUnit2.conv2", dtype)},
+            "out_conv": _conv(sd, r + "out_conv", dtype),
+        })
+    return params
+
+
+def convert_zoed(sd: dict, dtype=jnp.float32) -> dict:
+    """ZoeD_N checkpoint (ZoeD_M12_N.pt: 'model' dict with core.core.* MiDaS
+    BEiT + bins head) -> prisma_tpu.models.zoed param tree."""
+    sd = strip_prefix(sd, "")
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    midas_sd = strip_prefix(sd, "core.core.")
+    return {
+        "core": {
+            "beit": _convert_beit(strip_prefix(midas_sd, "pretrained.model."),
+                                  dtype),
+            "decoder": _convert_midas_decoder(midas_sd, dtype),
+        },
+        "head": convert_zoedepth_head(sd, dtype),
+    }
