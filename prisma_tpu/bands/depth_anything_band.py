@@ -23,7 +23,10 @@ from prisma_tpu.weights.store import load_depth_anything
 BAND = "depth_anything"
 
 
-def _make_step(params, infer, flip: bool, need_depth: bool):
+def _make_step(params, infer, flip: bool, need_depth: bool, dtype=None):
+    if dtype is not None:
+        from prisma_tpu.weights.store import cast_params
+        params = cast_params(params, dtype)
     params = jax.device_put(params)
 
     @jax.jit

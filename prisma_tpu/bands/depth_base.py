@@ -34,6 +34,8 @@ ImageInfer = Callable[[np.ndarray], np.ndarray]
 
 def run_video(io: BandIO, step: VideoStep, flip: bool,
               npy: bool = False) -> None:
+    from prisma_tpu.runtime.profiling import StageProfiler
+    prof = StageProfiler()
     reader = VideoReader(io.input)
     writer = VideoWriter(reader.width, reader.height, reader.fps,
                          filename=io.output)
@@ -43,9 +45,11 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
     maxs: list[float] = []
     idx = 0
     batch_size = io.runtime.batch_size
+    prof.start_device_trace()
     for frames, valid in reader.batches(batch_size, pad_to_full=True):
-        out = step(frames)
-        heat = np.asarray(out["heat"])
+        with prof.stage("device_step"):
+            out = step(frames)
+            heat = np.asarray(out["heat"])
         bmin = np.asarray(out["min"])
         bmax = np.asarray(out["max"])
         depth = np.asarray(out["depth"]) if need_depth else None
@@ -63,6 +67,8 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
             idx += 1
     writer.close()
     reader.close()
+    prof.stop_device_trace()
+    prof.report(items=idx)
 
     write_csv(os.path.join(io.output_folder, io.band + "_min.csv"), mins)
     write_csv(os.path.join(io.output_folder, io.band + "_max.csv"), maxs)

@@ -1,0 +1,70 @@
+"""depth_patchfusion band driver: tiled high-res metric depth on TPU.
+
+Reference: `bands/depth_patchfusion.py` — infer per image/frame with mode
+p16/p49/rN (default r128 image, p49 video via process.py:230-231), metric
+output (flip=False), same CSV/subpath/npy/ply contract as other depth bands.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.bands import depth_base
+from prisma_tpu.bands.base import BandIO, resolve
+from prisma_tpu.models import patchfusion as pf
+from prisma_tpu.runtime.config import RuntimeConfig
+from prisma_tpu.weights.store import load_patchfusion
+
+BAND = "depth_patchfusion"
+
+
+def _infer_frames(params, frames_u8, mode, model_hw, dtype):
+    """Host loop over frames (each frame runs the jitted tile passes)."""
+    outs = []
+    for f in np.asarray(frames_u8):
+        outs.append(pf.infer(params, f.astype(np.float32) / 255.0, mode=mode,
+                             compute_dtype=dtype, model_hw=model_hw))
+    return jnp.asarray(np.stack(outs))
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        mode: str = "r128", npy: bool = False, ply: bool = False,
+        runtime: RuntimeConfig | None = None) -> BandIO:
+    runtime = runtime or RuntimeConfig()
+    io = resolve(BAND, input_path, output=output, subpath=subpath,
+                 force_extension="png", runtime=runtime)
+    params, model_hw = load_patchfusion(runtime)
+    dtype = runtime.resolve_dtype()
+    # rN random-tile refinement beyond the 3 half-offset passes is pending;
+    # r* currently runs the p49 pass set (the deterministic part of rN)
+    eff_mode = "p49" if mode.startswith("r") else mode
+    infer = functools.partial(_infer_frames, mode=eff_mode, model_hw=model_hw,
+                              dtype=dtype)
+    flip = False  # metric
+
+    if io.is_video():
+        need_depth = bool(io.subpath) or npy
+        step_infer = lambda frames: infer(params, frames)
+
+        def step(frames):
+            depth = step_infer(frames)
+            dmin = jnp.min(depth, axis=(1, 2))
+            dmax = jnp.max(depth, axis=(1, 2))
+            norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]
+            from prisma_tpu.ops import encode as enc
+            heat = jnp.floor(enc.heat_to_rgb(norm) * 255.0).astype(jnp.uint8)
+            out = {"heat": heat, "min": dmin, "max": dmax}
+            if need_depth:
+                out["depth"] = depth
+            return out
+
+        depth_base.run_video(io, step, flip=flip, npy=npy)
+    else:
+        depth_base.run_image(io, lambda f: infer(params, f), flip=flip,
+                             npy=npy, ply=ply)
+    return io

@@ -41,12 +41,14 @@ SUBFOLDERS = {
 def _implemented_bands():
     """Registry of runnable bands; grows as model families land."""
     from prisma_tpu.bands import (camera_colmap_band, depth_anything_band,
-                                  depth_midas_band, depth_zoedepth_band,
-                                  flow_gmflow_band, flow_raft_band, mask_band)
+                                  depth_midas_band, depth_patchfusion_band,
+                                  depth_zoedepth_band, flow_gmflow_band,
+                                  flow_raft_band, mask_band)
     return {
         "depth_anything": depth_anything_band.run,
         "depth_midas": depth_midas_band.run,
         "depth_zoedepth": depth_zoedepth_band.run,
+        "depth_patchfusion": depth_patchfusion_band.run,
         "flow_raft": flow_raft_band.run,
         "flow_gmflow": flow_gmflow_band.run,
         "mask_mmdet": mask_band.run,
@@ -168,6 +170,8 @@ def main(argv=None):
         bands = DEPTH_BANDS if args.depth == "all" else [args.depth]
         for band in bands:
             kw = dict(depth_kwargs)
+            if band == "depth_patchfusion" and video:
+                kw["mode"] = "p49"
             if band == "depth_anything":
                 kw["metric"] = "outdoor"  # reference default EXTRA_ARGS (process.py:53)
                 kw["encoder"] = args.encoder

@@ -52,14 +52,17 @@ def infer(params: dict, frames_u8: jnp.ndarray, encoder: str = "vitl",
     B, H, W, _ = frames_u8.shape
     target = int(os.environ.get("PRISMA_DA_TARGET", "518"))  # tests shrink this
     w2, h2 = dpt_input_size(W, H, target=target)
-    img = frames_u8.astype(jnp.float32) / 255.0
+    # pre/post resizes run in the compute dtype: on TPU the 1080p resampling
+    # matmuls would otherwise dominate the step (f32 multi-pass MXU)
+    img = frames_u8.astype(compute_dtype) / 255.0
     img = resize2d(img, (h2, w2), method="cubic", align_corners=False)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    img = ((img - mean) / std).astype(compute_dtype)
-    depth = forward(params, img, encoder, precision).astype(jnp.float32)
-    return resize2d(depth[..., None], (H, W), method="linear",
-                    align_corners=False)[..., 0]
+    mean = jnp.asarray(IMAGENET_MEAN, compute_dtype)
+    std = jnp.asarray(IMAGENET_STD, compute_dtype)
+    img = (img - mean) / std
+    depth = forward(params, img, encoder, precision)
+    depth = resize2d(depth[..., None], (H, W), method="linear",
+                     align_corners=False)[..., 0]
+    return depth.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("encoder", "flip", "compute_dtype"))

@@ -113,9 +113,14 @@ def attractor_layer(p, x, b_prev, prev_b_embedding, cfg: ZoeDepthConfig,
 
 
 def _log_binom(n, k, eps=1e-7):
+    # The reference computes (n-k)*log(n-k+eps); with n == max(k) the +eps can
+    # be reassociated away by XLA constant folding, yielding 0 * log(0) = NaN.
+    # Clamp through jnp.maximum (an optimization barrier) — at n == k the term
+    # is eps*log(eps) ~ -1.6e-6 vs the reference's exact 0.
     n = n + eps
     k = k + eps
-    return n * jnp.log(n) - k * jnp.log(k) - (n - k) * jnp.log(n - k + eps)
+    nk = jnp.maximum(n - k, eps)
+    return n * jnp.log(n) - k * jnp.log(k) - nk * jnp.log(nk)
 
 
 def conditional_log_binomial(p, x, cond, cfg: ZoeDepthConfig, precision=None):

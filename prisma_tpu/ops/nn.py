@@ -21,9 +21,11 @@ def linear(p, x, precision=None):
 
 
 def layer_norm(p, x, eps: float = 1e-6):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mu) * lax.rsqrt(var + eps)
+    # stats in f32 for bf16 activations (standard mixed-precision practice)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mu) * lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p["scale"] + p["bias"]
 
 

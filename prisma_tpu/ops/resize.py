@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,23 +97,35 @@ def _resize_weights(in_size: int, out_size: int, method: str,
 
 def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "linear",
              align_corners: bool = False,
-             scale: tuple[float, float] | None = None) -> jnp.ndarray:
-    """Resize [..., H, W, C] to [..., H', W', C'] with exact reference semantics."""
+             scale: tuple[float, float] | None = None,
+             precision=None) -> jnp.ndarray:
+    """Resize [..., H, W, C] to [..., H', W', C'] with exact reference semantics.
+
+    precision=None uses the backend default (fast MXU path on TPU; exact f32 on
+    CPU, where the parity suites run). Pass "highest" for exact f32 on TPU.
+    """
     H, W = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
     sh, sw = (scale if scale is not None else (None, None))
-    Wh = jnp.asarray(_resize_weights(H, oh, method, align_corners, sh))
-    Ww = jnp.asarray(_resize_weights(W, ow, method, align_corners, sw))
-    x = jnp.einsum("oh,...hwc->...owc", Wh.astype(x.dtype), x,
-                   precision="highest")
-    x = jnp.einsum("ow,...hwc->...hoc", Ww.astype(x.dtype), x,
-                   precision="highest")
-    return x
+    Wh = jnp.asarray(_resize_weights(H, oh, method, align_corners, sh)).astype(x.dtype)
+    Ww = jnp.asarray(_resize_weights(W, ow, method, align_corners, sw)).astype(x.dtype)
+    # contract on the last axis (canonical fast GEMM form on TPU): move the
+    # resampled axis last, dot, move back
+    nd = x.ndim
+    x = jnp.moveaxis(x, nd - 3, nd - 1)                      # [..., w, c, h]
+    x = jax.lax.dot_general(x, Wh.T, (((nd - 1,), (0,)), ((), ())),
+                            precision=precision)             # [..., w, c, oh]
+    x = jnp.moveaxis(x, nd - 1, nd - 3)                      # [..., oh, w, c]
+    x = jnp.moveaxis(x, nd - 2, nd - 1)                      # [..., oh, c, w]
+    x = jax.lax.dot_general(x, Ww.T, (((nd - 1,), (0,)), ((), ())),
+                            precision=precision)             # [..., oh, c, ow]
+    return jnp.moveaxis(x, nd - 1, nd - 2)                   # [..., oh, ow, c]
 
 
 def resize2d_nchw(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "linear",
                   align_corners: bool = False,
-                  scale: tuple[float, float] | None = None) -> jnp.ndarray:
+                  scale: tuple[float, float] | None = None,
+                  precision=None) -> jnp.ndarray:
     """Same, for [..., C, H, W] layouts."""
     H, W = x.shape[-2], x.shape[-1]
     oh, ow = out_hw
@@ -120,9 +133,9 @@ def resize2d_nchw(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "linear
     Wh = jnp.asarray(_resize_weights(H, oh, method, align_corners, sh))
     Ww = jnp.asarray(_resize_weights(W, ow, method, align_corners, sw))
     x = jnp.einsum("oh,...hw->...ow", Wh.astype(x.dtype), x,
-                   precision="highest")
+                   precision=precision)
     x = jnp.einsum("ow,...hw->...ho", Ww.astype(x.dtype), x,
-                   precision="highest")
+                   precision=precision)
     return x
 
 

@@ -1,0 +1,84 @@
+"""ROI Align (aligned=True), TPU-native.
+
+Replaces torchvision's CUDA/C++ `roi_align` on PatchFusion's inference hot path
+(SURVEY.md §2.9 #4; used at `patchfusion.py:416-432` and inside UNetv1). For
+each ROI and output cell, samples a grid of bilinear taps and averages them —
+implemented as one vectorized gather over all ROIs/cells/taps, which XLA lowers
+to batched dynamic-slices.
+
+torchvision semantics (aligned=True): roi coords are scaled by spatial_scale
+then offset by -0.5; with sampling_ratio <= 0 the tap count per bin is
+ceil(roi_size / out_size), which is data-dependent — here the tap count must be
+static under jit, so callers pass `sampling_ratio` computed from their static
+tile geometry (PatchFusion's tiles have fixed sizes per mode).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, box_indices,
+              output_size: tuple[int, int], spatial_scale: float = 1.0,
+              sampling_ratio: int = 2, aligned: bool = True) -> jnp.ndarray:
+    """features [B, H, W, C]; boxes [N, 4] as (x1, y1, x2, y2); box_indices [N].
+
+    Returns [N, ph, pw, C].
+    """
+    ph, pw = output_size
+    sr = max(int(sampling_ratio), 1)
+    offset = 0.5 if aligned else 0.0
+    boxes = boxes.astype(jnp.float32) * spatial_scale - offset
+
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / pw
+    bin_h = roi_h / ph
+
+    # tap positions: for bin i, taps at y1 + (i + (t + 0.5) / sr) * bin
+    ty = (jnp.arange(sr) + 0.5) / sr
+    gy = y1[:, None, None] + (jnp.arange(ph)[None, :, None]
+                              + ty[None, None, :]) * bin_h[:, None, None]
+    gx = x1[:, None, None] + (jnp.arange(pw)[None, :, None]
+                              + ty[None, None, :]) * bin_w[:, None, None]
+    # [N, ph*sr] x [N, pw*sr] sample grid
+    gy = gy.reshape(gy.shape[0], -1)
+    gx = gx.reshape(gx.shape[0], -1)
+
+    B, H, W, C = features.shape
+    feats = features[jnp.asarray(box_indices, jnp.int32)]  # [N, H, W, C]
+
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    fy = gy - y0
+    fx = gx - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def gather_rows(idx):
+        valid = ((idx >= 0) & (idx < H)).astype(features.dtype)
+        rows = jnp.take_along_axis(
+            feats, jnp.clip(idx, 0, H - 1)[:, :, None, None], axis=1)
+        return rows * valid[:, :, None, None]
+
+    def gather_cols(rows, idx):
+        valid = ((idx >= 0) & (idx < W)).astype(features.dtype)
+        cols = jnp.take_along_axis(
+            rows, jnp.clip(idx, 0, W - 1)[:, None, :, None], axis=2)
+        return cols * valid[:, None, :, None]
+
+    # separable bilinear: gather rows (y), blend; then columns (x), blend
+    r0 = gather_rows(y0)
+    r1 = gather_rows(y0 + 1)
+    rows = r0 * (1 - fy)[:, :, None, None] + r1 * fy[:, :, None, None]
+    c0 = gather_cols(rows, x0)
+    c1 = gather_cols(rows, x0 + 1)
+    vals = c0 * (1 - fx)[:, None, :, None] + c1 * fx[:, None, :, None]
+    # vals [N, ph*sr, pw*sr, C] -> average each sr x sr tap block
+    N = vals.shape[0]
+    vals = vals.reshape(N, ph, sr, pw, sr, C).mean(axis=(2, 4))
+    return vals

@@ -17,8 +17,18 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 from prisma_tpu.runtime.config import RuntimeConfig
+
+
+def cast_params(params, dtype):
+    """Cast floating-point leaves of a param tree (bf16 production path)."""
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+    return jax.tree.map(cast, params)
 
 
 def _load_torch_state_dict(path: str) -> dict:
@@ -162,3 +172,22 @@ def load_zoed(runtime: RuntimeConfig):
             f"checkpoint {path} not found; place ZoeD_M12_N.pt there or set "
             "runtime.random_weights=True for smoke runs")
     return convert_zoed(_load_torch_state_dict(path))
+
+
+def load_patchfusion(runtime: RuntimeConfig):
+    """PatchFusion weights (models/patchfusion_u4k.pt). -> (params, model_hw)."""
+    from prisma_tpu.models import patchfusion as pf
+    from prisma_tpu.weights.torch_convert import convert_patchfusion
+
+    if runtime.random_weights:
+        hw = tuple(int(v) for v in os.environ.get(
+            "PRISMA_PF_SIZE", "384,512").split(","))
+        depth = int(os.environ.get("PRISMA_PF_DEPTH", "24"))
+        return pf.init_params(jax.random.key(6), beit_depth=depth,
+                              model_hw=hw), hw
+    path = os.path.join(runtime.models_dir, "patchfusion_u4k.pt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path} not found; place patchfusion_u4k.pt there or "
+            "set runtime.random_weights=True for smoke runs")
+    return convert_patchfusion(_load_torch_state_dict(path)), (384, 512)

@@ -490,3 +490,92 @@ def convert_zoed(sd: dict, dtype=jnp.float32) -> dict:
         },
         "head": convert_zoedepth_head(sd, dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# PatchFusion
+# ---------------------------------------------------------------------------
+
+def _convert_zoedepth_custom(sd: dict, dtype=jnp.float32) -> dict:
+    """ZoeDepthCustom sub-model (core.core.* BEiT midas + bins head)."""
+    midas_sd = strip_prefix(sd, "core.core.")
+    return {
+        "core": {
+            "beit": _convert_beit(strip_prefix(midas_sd, "pretrained.model."),
+                                  dtype),
+            "decoder": _convert_midas_decoder(midas_sd, dtype),
+        },
+        "head": convert_zoedepth_head(sd, dtype),
+    }
+
+
+def _dconv_bn(sd, key, dtype):
+    """fusion_network DoubleConv: Sequential(conv, BN, ReLU, conv, BN, ReLU)."""
+    return {"conv1": _conv(sd, key + ".0", dtype),
+            "bn1": _fold_bn(sd, key + ".1", dtype),
+            "conv2": _conv(sd, key + ".3", dtype),
+            "bn2": _fold_bn(sd, key + ".4", dtype)}
+
+
+def _dconv_wobn(sd, key, dtype):
+    """DoubleConvWOBN: Sequential(conv, ReLU, conv, ReLU)."""
+    return {"conv1": _conv(sd, key + ".0", dtype),
+            "conv2": _conv(sd, key + ".2", dtype)}
+
+
+def _convert_g2l(sd: dict, prefix: str, dtype=jnp.float32) -> dict:
+    blocks = []
+    i = 0
+    while f"{prefix}g2l_layer.blocks.{i}.norm1.weight" in sd:
+        b = f"{prefix}g2l_layer.blocks.{i}."
+        blocks.append({
+            "norm1": _norm(sd, b + "norm1", dtype),
+            "qkv": _lin(sd, b + "attn.qkv", dtype),
+            "proj": _lin(sd, b + "attn.proj", dtype),
+            "rel_pos_table": jnp.asarray(
+                _np(sd[b + "attn.relative_position_bias_table"]), dtype),
+            "norm2": _norm(sd, b + "norm2", dtype),
+            "mlp": {"fc1": _lin(sd, b + "mlp.fc1", dtype),
+                    "fc2": _lin(sd, b + "mlp.fc2", dtype)},
+        })
+        i += 1
+    return {
+        "embed_proj": _conv(sd, prefix + "embed_proj", dtype),
+        "absolute_pos_embed": jnp.asarray(
+            _np(sd[prefix + "absolute_pos_embed"]), dtype),
+        "blocks": blocks,
+        "norm": _norm(sd, prefix + "g2l_layer_norm", dtype),
+    }
+
+
+def convert_patchfusion(sd: dict, dtype=jnp.float32) -> dict:
+    """PatchFusion checkpoint (patchfusion_u4k.pt) -> prisma_tpu param tree."""
+    sd = strip_prefix(sd, "")
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    fe = "fusion_extractor."
+    return {
+        "coarse": _convert_zoedepth_custom(strip_prefix(sd, "coarse_model."),
+                                           dtype),
+        "fine": _convert_zoedepth_custom(strip_prefix(sd, "fine_model."),
+                                         dtype),
+        "coarse_input_proj": [_conv(sd, f"coarse_input_proj.{i}", dtype)
+                              for i in range(6)],
+        "fine_input_proj": [_conv(sd, f"fine_input_proj.{i}", dtype)
+                            for i in range(6)],
+        "fusion_conv": [_conv(sd, f"fusion_conv_list.{i}", dtype)
+                        for i in range(6)],
+        "unet": {
+            "inc": _dconv_bn(sd, fe + "inc.double_conv", dtype),
+            "down": [_dconv_bn(sd, fe + f"down{i}.maxpool_conv.1.double_conv",
+                               dtype) for i in range(1, 6)],
+            "up": [_dconv_wobn(sd, fe + f"up{i}.conv.double_conv", dtype)
+                   for i in range(1, 6)],
+            # my conv[k] pairs with g2l level k (k=0 -> reference conv5/g2l5)
+            "conv": [_dconv_wobn(sd, fe + f"conv{5 - k}.double_conv", dtype)
+                     for k in range(6)],
+            "g2l": [_convert_g2l(sd, fe + f"g2l{5 - k}.", dtype)
+                    for k in range(6)],
+        },
+        "head": convert_zoedepth_head(sd, dtype),
+    }

@@ -1,0 +1,42 @@
+"""PatchFusion structural tests (tiny geometry) + tiling engine behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from prisma_tpu.models import patchfusion as pf
+
+
+def test_tile_grid_counts():
+    res = (480, 640)
+    crop = (120, 160)
+    assert len(pf._tile_grid(res, crop, 0, 0)) == 16
+    assert len(pf._tile_grid(res, crop, crop[1] // 2, 0)) == 12
+    assert len(pf._tile_grid(res, crop, 0, crop[0] // 2)) == 12
+    assert len(pf._tile_grid(res, crop, crop[1] // 2, crop[0] // 2)) == 9
+    # p49 = 16 + 12 + 12 + 9
+    assert 16 + 12 + 12 + 9 == 49
+
+
+def test_blur_mask_properties():
+    m = pf.generate_blur_mask((120, 160))
+    assert m.shape == (120, 160)
+    assert m.min() == 0.0 and m.max() == 1.0
+    assert m[60, 80] > 0.95  # center fully weighted
+
+
+def test_resolution_ladder():
+    assert pf.pick_resolution(480, 640) == (480, 640)
+    assert pf.pick_resolution(720, 1280) == (1080, 1920)
+    assert pf.pick_resolution(2000, 3000) == (2160, 3840)
+
+
+@pytest.mark.slow
+def test_patchfusion_infer_tiny():
+    model_hw = (64, 96)
+    params = pf.init_params(jax.random.key(0), beit_depth=4, model_hw=model_hw)
+    img = np.random.default_rng(0).uniform(0, 1, (100, 140, 3)).astype(np.float32)
+    depth = pf.infer(params, img, mode="p16", model_hw=model_hw)
+    assert depth.shape == (100, 140)
+    assert np.isfinite(depth).all()
