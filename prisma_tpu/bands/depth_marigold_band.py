@@ -1,0 +1,72 @@
+"""depth_marigold band driver: diffusion depth on TPU.
+
+Reference: `bands/depth_marigold.py` — 10 DDIM steps x 10 ensemble members at
+768px, metric-agnostic output written with flip=False.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.bands import depth_base
+from prisma_tpu.bands.base import BandIO, resolve
+from prisma_tpu.models import marigold as jmar
+from prisma_tpu.models import sd2
+from prisma_tpu.runtime.config import RuntimeConfig
+from prisma_tpu.weights.store import load_marigold
+
+BAND = "depth_marigold"
+DENOISE_STEPS = 10
+ENSEMBLE_SIZE = 10
+PROCESSING_RESOLUTION = 768
+
+
+def _infer_frames(params, frames_u8, unet_cfg, steps, ensemble, res, dtype):
+    outs = []
+    for i, f in enumerate(np.asarray(frames_u8)):
+        outs.append(jmar.infer(params, f, denoising_steps=steps,
+                               ensemble_size=ensemble, processing_res=res,
+                               seed=i, unet_cfg=unet_cfg, compute_dtype=dtype))
+    return jnp.asarray(np.stack(outs))
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        denoise_steps: int = DENOISE_STEPS, ensemble_size: int = ENSEMBLE_SIZE,
+        processing_res: int = PROCESSING_RESOLUTION, npy: bool = False,
+        ply: bool = False, runtime: RuntimeConfig | None = None) -> BandIO:
+    runtime = runtime or RuntimeConfig()
+    io = resolve(BAND, input_path, output=output, subpath=subpath,
+                 force_extension="png", runtime=runtime)
+    params, unet_cfg = load_marigold(runtime)
+    dtype = runtime.resolve_dtype()
+    res = int(os.environ.get("PRISMA_MARIGOLD_RES", str(processing_res)))
+    flip = False
+
+    def infer(params_, frames):
+        return _infer_frames(params_, frames, unet_cfg, denoise_steps,
+                             ensemble_size, res, dtype)
+
+    if io.is_video():
+        need_depth = bool(io.subpath) or npy
+
+        def step(frames):
+            depth = infer(params, frames)
+            dmin = jnp.min(depth, axis=(1, 2))
+            dmax = jnp.max(depth, axis=(1, 2))
+            norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]
+            from prisma_tpu.ops import encode as enc
+            heat = jnp.floor(enc.heat_to_rgb(norm) * 255.0).astype(jnp.uint8)
+            out = {"heat": heat, "min": dmin, "max": dmax}
+            if need_depth:
+                out["depth"] = depth
+            return out
+
+        depth_base.run_video(io, step, flip=flip, npy=npy)
+    else:
+        depth_base.run_image(io, lambda f: infer(params, f), flip=flip,
+                             npy=npy, ply=ply)
+    return io

@@ -41,14 +41,15 @@ SUBFOLDERS = {
 def _implemented_bands():
     """Registry of runnable bands; grows as model families land."""
     from prisma_tpu.bands import (camera_colmap_band, depth_anything_band,
-                                  depth_midas_band, depth_patchfusion_band,
-                                  depth_zoedepth_band, flow_gmflow_band,
-                                  flow_raft_band, mask_band)
+                                  depth_marigold_band, depth_midas_band,
+                                  depth_patchfusion_band, depth_zoedepth_band,
+                                  flow_gmflow_band, flow_raft_band, mask_band)
     return {
         "depth_anything": depth_anything_band.run,
         "depth_midas": depth_midas_band.run,
         "depth_zoedepth": depth_zoedepth_band.run,
         "depth_patchfusion": depth_patchfusion_band.run,
+        "depth_marigold": depth_marigold_band.run,
         "flow_raft": flow_raft_band.run,
         "flow_gmflow": flow_gmflow_band.run,
         "mask_mmdet": mask_band.run,

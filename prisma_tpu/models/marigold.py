@@ -1,0 +1,403 @@
+"""Marigold diffusion depth (SD2 UNet + VAE + DDIM + ensembling), TPU-native.
+
+Parity target: the vendored pipeline (`bands/marigold/marigold_pipeline.py`):
+- resize max edge to 768 (PIL), RGB in [0, 1] (vendored quirk: no [-1, 1]
+  scaling), VAE-encode x 0.18215;
+- per ensemble member: random depth latent, DDIM loop
+  unet(cat[rgb_latent, depth_latent], t, empty-text embedding), 10 steps;
+- VAE-decode, mean of 3 channels, clip [-1, 1] -> [0, 1];
+- scale/shift ensembling via scipy BFGS (max_iter 2) + median + MAD
+  (`marigold/util/ensemble.py:41-133`).
+
+TPU design: ensemble members ride the batch axis through ONE jitted scan over
+the DDIM steps (the reference loops steps and batches in Python); the
+scale/shift BFGS is a tiny host-side solve on downsampled maps.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from prisma_tpu.models import sd2
+from prisma_tpu.ops import nn as pnn
+
+RGB_LATENT_SCALE = 0.18215
+DEPTH_LATENT_SCALE = 0.18215
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (OpenCLIP-H text tower, SD2 penultimate: 23 layers)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab: int = 49408
+    width: int = 1024
+    heads: int = 16
+    layers: int = 23
+    max_len: int = 77
+    bos: int = 49406
+    eos: int = 49407
+
+
+def clip_text_forward(params, token_ids, cfg: CLIPTextConfig = CLIPTextConfig(),
+                      precision=None):
+    """token_ids [B, L] -> hidden states [B, L, width] (final LN applied)."""
+    B, L = token_ids.shape
+    x = params["token_embed"][token_ids] + params["pos_embed"][:L]
+    mask = jnp.triu(jnp.full((L, L), -jnp.inf, x.dtype), k=1)
+    for bp in params["blocks"]:
+        h = pnn.layer_norm(bp["norm1"], x, eps=1e-5)
+        q = pnn.linear(bp["q"], h, precision=precision)
+        k = pnn.linear(bp["k"], h, precision=precision)
+        v = pnn.linear(bp["v"], h, precision=precision)
+        d = cfg.width // cfg.heads
+        q = q.reshape(B, L, cfg.heads, d)
+        k = k.reshape(B, L, cfg.heads, d)
+        v = v.reshape(B, L, cfg.heads, d)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (d ** -0.5), k,
+                          precision=precision) + mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                       precision=precision).reshape(B, L, cfg.width)
+        x = x + pnn.linear(bp["out"], o, precision=precision)
+        h = pnn.layer_norm(bp["norm2"], x, eps=1e-5)
+        h = pnn.linear(bp["fc1"], h, precision=precision)
+        h = h * jax.nn.sigmoid(1.702 * h)  # CLIP quick_gelu
+        x = x + pnn.linear(bp["fc2"], h, precision=precision)
+    return pnn.layer_norm(params["final_norm"], x, eps=1e-5)
+
+
+def empty_text_embed(params, cfg: CLIPTextConfig = CLIPTextConfig()):
+    """Embedding of the empty prompt, tokenized without padding: [BOS, EOS]."""
+    ids = jnp.asarray([[cfg.bos, cfg.eos]], jnp.int32)
+    return clip_text_forward(params, ids, cfg)
+
+
+# ---------------------------------------------------------------------------
+# DDIM scheduler (diffusers semantics, eta=0)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DDIMConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    steps_offset: int = 1
+    prediction_type: str = "v_prediction"  # Marigold is SD2 (v-pred) derived
+
+
+def ddim_alphas(cfg: DDIMConfig = DDIMConfig()) -> np.ndarray:
+    betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
+                        cfg.num_train_timesteps) ** 2
+    return np.cumprod(1.0 - betas)
+
+
+def ddim_timesteps(num_steps: int, cfg: DDIMConfig = DDIMConfig()) -> np.ndarray:
+    ratio = cfg.num_train_timesteps // num_steps
+    return (np.arange(num_steps) * ratio).round()[::-1].astype(np.int64) \
+        + cfg.steps_offset
+
+
+def ddim_step(model_out, t, t_prev, sample, alphas_cumprod,
+              cfg: DDIMConfig = DDIMConfig()):
+    """One deterministic DDIM step (scheduler.step with eta=0)."""
+    a_t = alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0, alphas_cumprod[jnp.maximum(t_prev, 0)],
+                      alphas_cumprod[0])
+    sqrt_at = jnp.sqrt(a_t)
+    sqrt_1mat = jnp.sqrt(1.0 - a_t)
+    if cfg.prediction_type == "v_prediction":
+        x0 = sqrt_at * sample - sqrt_1mat * model_out
+        eps = sqrt_at * model_out + sqrt_1mat * sample
+    else:  # epsilon
+        x0 = (sample - sqrt_1mat * model_out) / sqrt_at
+        eps = model_out
+    return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+def resize_max_res_size(w: int, h: int, max_edge: int = 768):
+    """PIL resize_max_res (marigold/util/image_util.py): scale by max edge,
+    int() truncation of the new dims."""
+    scale = min(max_edge / w, max_edge / h)
+    return int(w * scale), int(h * scale)
+
+
+def single_infer(params, rgb01, rng, num_steps: int = 10,
+                 unet_cfg: sd2.UNetConfig = sd2.UNetConfig(),
+                 ddim_cfg: DDIMConfig = DDIMConfig(), precision=None):
+    """rgb01 [B, H, W, 3] in [0,1] (H, W multiples of 8) -> depth [B, H, W] in [0,1].
+
+    One jitted lax.scan over the DDIM steps; B is the ensemble batch.
+    """
+    rgb_latent = sd2.vae_encode(params["vae"], rgb01,
+                                precision=precision) * RGB_LATENT_SCALE
+    depth_latent = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
+    context = jnp.broadcast_to(params["empty_text_embed"],
+                               (rgb_latent.shape[0],)
+                               + params["empty_text_embed"].shape[1:])
+
+    alphas = jnp.asarray(ddim_alphas(ddim_cfg), rgb_latent.dtype)
+    ts = ddim_timesteps(num_steps, ddim_cfg)
+    ts_prev = np.concatenate([ts[1:], [-1]])  # t - ratio; last -> final alpha
+    ts = jnp.asarray(ts)
+    ts_prev = jnp.asarray(ts_prev)
+
+    def step(depth_latent, tt):
+        t, t_prev = tt
+        unet_in = jnp.concatenate([rgb_latent, depth_latent], axis=-1)
+        tb = jnp.full((unet_in.shape[0],), t, jnp.int32)
+        noise_pred = sd2.unet_forward(params["unet"], unet_in, tb, context,
+                                      unet_cfg, precision)
+        return ddim_step(noise_pred, t, t_prev, depth_latent, alphas,
+                         ddim_cfg), None
+
+    depth_latent, _ = jax.lax.scan(step, depth_latent, (ts, ts_prev))
+
+    stacked = sd2.vae_decode(params["vae"], depth_latent / DEPTH_LATENT_SCALE,
+                             precision=precision)
+    depth = jnp.mean(stacked, axis=-1)
+    depth = jnp.clip(depth, -1.0, 1.0)
+    return (depth + 1.0) / 2.0
+
+
+def ensemble_depths(depth_preds: np.ndarray, regularizer_strength: float = 0.02,
+                    max_iter: int = 2, tol: float = 1e-3):
+    """Scale/shift alignment + median reduction (reference ensemble.py:41-133)."""
+    from scipy.optimize import minimize
+
+    n = depth_preds.shape[0]
+    flat = depth_preds.reshape(n, -1)
+    _min = flat.min(axis=1)
+    _max = flat.max(axis=1)
+    s_init = 1.0 / (_max - _min)
+    t_init = -s_init * _min
+    x0 = np.concatenate([s_init, t_init]).astype(np.float32)
+
+    def closure(x):
+        s = x[:n].reshape(-1, 1, 1)
+        t = x[n:].reshape(-1, 1, 1)
+        transformed = depth_preds * s + t
+        dists = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dists.append(transformed[i] - transformed[j])
+        sqrt_dist = np.sqrt(np.mean(np.square(np.stack(dists)))) if dists else 0.0
+        pred = np.median(transformed, axis=0)
+        near_err = np.sqrt((0 - pred.min()) ** 2)
+        far_err = np.sqrt((1 - pred.max()) ** 2)
+        return np.float32(sqrt_dist
+                          + (near_err + far_err) * regularizer_strength)
+
+    res = minimize(closure, x0, method="BFGS", tol=tol,
+                   options={"maxiter": max_iter, "disp": False})
+    s = res.x[:n].reshape(-1, 1, 1)
+    t = res.x[n:].reshape(-1, 1, 1)
+    transformed = depth_preds * s + t
+    aligned = np.median(transformed, axis=0)
+    mad = np.median(np.abs(transformed - aligned), axis=0)
+    _mn, _mx = aligned.min(), aligned.max()
+    aligned = (aligned - _mn) / (_mx - _mn)
+    mad = mad / (_mx - _mn)
+    return aligned, mad
+
+
+def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
+          ensemble_size: int = 10, processing_res: int = 768, seed: int = 0,
+          unet_cfg: sd2.UNetConfig = sd2.UNetConfig(),
+          precision=None, compute_dtype=jnp.float32) -> np.ndarray:
+    """Full pipeline on one frame [H, W, 3] uint8 -> depth [H, W] (relative,
+    the pipeline's min..max-rescaled output)."""
+    from prisma_tpu.ops.resize import resize2d
+
+    H, W = frame_u8.shape[:2]
+    if processing_res > 0:
+        w2, h2 = resize_max_res_size(W, H, processing_res)
+    else:
+        w2, h2 = W, H
+    # the VAE needs /8 dims; the reference relies on PIL sizes already being
+    # encodable (768-max edges) — we round down to the nearest multiple of 8
+    w2, h2 = max(8, w2 - w2 % 8), max(8, h2 - h2 % 8)
+
+    rgb = jnp.asarray(frame_u8, jnp.float32)[None] / 255.0
+    rgb = resize2d(rgb, (h2, w2), method="linear").astype(compute_dtype)
+    rgb = jnp.broadcast_to(rgb, (ensemble_size,) + rgb.shape[1:])
+
+    run = jax.jit(functools.partial(single_infer, num_steps=denoising_steps,
+                                    unet_cfg=unet_cfg, precision=precision))
+    preds = np.asarray(run(params, rgb, jax.random.key(seed)),
+                       dtype=np.float32)
+
+    if ensemble_size > 1:
+        depth, _uncert = ensemble_depths(preds)
+    else:
+        depth = preds[0]
+    mn, mx = depth.min(), depth.max()
+    depth = (depth - mn) / (mx - mn)
+    depth = np.asarray(resize2d(jnp.asarray(depth)[None, :, :, None], (H, W),
+                                method="linear"))[0, :, :, 0]
+    return mn + depth * (mx - mn)
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests use tiny configs)
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, unet_cfg: sd2.UNetConfig = sd2.UNetConfig(),
+                vae_cfg: sd2.VAEConfig = sd2.VAEConfig(),
+                text_width: int = None, dtype=jnp.float32) -> dict:
+    rngs = iter(jax.random.split(rng, 4096))
+    ctx = unet_cfg.cross_attention_dim
+
+    def conv(kh, kw, cin, cout):
+        return {"w": (jax.random.normal(next(rngs), (kh, kw, cin, cout))
+                      * ((kh * kw * cin) ** -0.5)).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def lin(din, dout, bias=True):
+        p = {"w": (jax.random.normal(next(rngs), (din, dout))
+                   * (din ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype)
+        return p
+
+    def gn(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    temb_dim = unet_cfg.block_channels[0] * 4
+
+    def resnet(cin, cout):
+        p = {"norm1": gn(cin), "conv1": conv(3, 3, cin, cout),
+             "time_emb": lin(temb_dim, cout), "norm2": gn(cout),
+             "conv2": conv(3, 3, cout, cout)}
+        if cin != cout:
+            p["shortcut"] = conv(1, 1, cin, cout)
+        return p
+
+    def xattn(dim, kv_dim):
+        return {"q": lin(dim, dim, False), "k": lin(kv_dim, dim, False),
+                "v": lin(kv_dim, dim, False), "out": lin(dim, dim)}
+
+    def tblock(dim):
+        return {"norm1": gn(dim), "attn1": xattn(dim, dim),
+                "norm2": gn(dim), "attn2": xattn(dim, ctx),
+                "norm3": gn(dim),
+                "ff": {"proj": lin(dim, 8 * dim), "out": lin(4 * dim, dim)}}
+
+    def spatial(dim):
+        return {"norm": gn(dim), "proj_in": lin(dim, dim),
+                "blocks": [tblock(dim)], "proj_out": lin(dim, dim)}
+
+    bc = unet_cfg.block_channels
+    down = []
+    skip_chs = [bc[0]]  # conv_in output
+    cin = bc[0]
+    for bi, ch in enumerate(bc):
+        block = {"resnets": [], }
+        if bi < len(bc) - 1:
+            block["attns"] = []
+        for li in range(unet_cfg.layers_per_block):
+            block["resnets"].append(resnet(cin if li == 0 else ch, ch))
+            if "attns" in block:
+                block["attns"].append(spatial(ch))
+            skip_chs.append(ch)
+        if bi < len(bc) - 1:
+            block["down"] = conv(3, 3, ch, ch)
+            skip_chs.append(ch)
+        cin = ch
+        down.append(block)
+
+    up = []
+    rb = list(reversed(bc))
+    prev_ch = bc[-1]  # mid output
+    for bi, ch in enumerate(rb):
+        block = {"resnets": []}
+        if bi > 0:
+            block["attns"] = []
+        for li in range(unet_cfg.layers_per_block + 1):
+            skip_ch = skip_chs.pop()
+            in_ch = (prev_ch if li == 0 else ch) + skip_ch
+            block["resnets"].append(resnet(in_ch, ch))
+            if "attns" in block:
+                block["attns"].append(spatial(ch))
+        if bi < len(rb) - 1:
+            block["up"] = conv(3, 3, ch, ch)
+        prev_ch = ch
+        up.append(block)
+
+    unet = {
+        "time1": lin(bc[0], temb_dim), "time2": lin(temb_dim, temb_dim),
+        "conv_in": conv(3, 3, unet_cfg.in_channels, bc[0]),
+        "down": down,
+        "mid": {"res1": resnet(bc[-1], bc[-1]), "attn": spatial(bc[-1]),
+                "res2": resnet(bc[-1], bc[-1])},
+        "up": up,
+        "norm_out": gn(bc[0]),
+        "conv_out": conv(3, 3, bc[0], unet_cfg.out_channels),
+    }
+
+    def vres(cin, cout):
+        p = {"norm1": gn(cin), "conv1": conv(3, 3, cin, cout),
+             "norm2": gn(cout), "conv2": conv(3, 3, cout, cout)}
+        if cin != cout:
+            p["shortcut"] = conv(1, 1, cin, cout)
+        return p
+
+    vc = vae_cfg.block_channels
+    enc_down = []
+    cin = vc[0]
+    for bi, ch in enumerate(vc):
+        block = {"resnets": [vres(cin if li == 0 else ch, ch)
+                             for li in range(vae_cfg.layers_per_block)]}
+        if bi < len(vc) - 1:
+            block["down"] = conv(3, 3, ch, ch)
+        enc_down.append(block)
+        cin = ch
+
+    dec_up = []
+    rvc = list(reversed(vc))
+    for bi, ch in enumerate(rvc):
+        prev = rvc[max(bi - 1, 0)]
+        block = {"resnets": [vres(prev if li == 0 else ch, ch)
+                             for li in range(vae_cfg.layers_per_block + 1)]}
+        if bi < len(rvc) - 1:
+            block["up"] = conv(3, 3, ch, ch)
+        dec_up.append(block)
+
+    def vattn(ch):
+        return {"norm": gn(ch), "q": lin(ch, ch), "k": lin(ch, ch),
+                "v": lin(ch, ch), "out": lin(ch, ch)}
+
+    lat = vae_cfg.latent_channels
+    vae = {
+        "enc": {
+            "conv_in": conv(3, 3, 3, vc[0]),
+            "down": enc_down,
+            "mid": {"res1": vres(vc[-1], vc[-1]), "attn": vattn(vc[-1]),
+                    "res2": vres(vc[-1], vc[-1])},
+            "norm_out": gn(vc[-1]),
+            "conv_out": conv(3, 3, vc[-1], 2 * lat),
+            "quant": conv(1, 1, 2 * lat, 2 * lat),
+        },
+        "dec": {
+            "post_quant": conv(1, 1, lat, lat),
+            "conv_in": conv(3, 3, lat, vc[-1]),
+            "mid": {"res1": vres(vc[-1], vc[-1]), "attn": vattn(vc[-1]),
+                    "res2": vres(vc[-1], vc[-1])},
+            "up": dec_up,
+            "norm_out": gn(vc[0]),
+            "conv_out": conv(3, 3, vc[0], 3),
+        },
+    }
+    return {"unet": unet, "vae": vae,
+            "empty_text_embed": jnp.zeros((1, 2, ctx), dtype)}

@@ -191,3 +191,27 @@ def load_patchfusion(runtime: RuntimeConfig):
             f"checkpoint {path} not found; place patchfusion_u4k.pt there or "
             "set runtime.random_weights=True for smoke runs")
     return convert_patchfusion(_load_torch_state_dict(path)), (384, 512)
+
+
+def load_marigold(runtime: RuntimeConfig):
+    """Marigold weights (Bingxin/Marigold diffusers checkpoint). -> (params, unet_cfg)."""
+    from prisma_tpu.models import marigold as jmar
+    from prisma_tpu.models import sd2
+
+    if runtime.random_weights:
+        if os.environ.get("PRISMA_MARIGOLD_TINY", "0") == "1":
+            ucfg = sd2.UNetConfig(block_channels=(32, 64), cross_attention_dim=64,
+                                  head_dim=16, norm_groups=8)
+            vcfg = sd2.VAEConfig(block_channels=(32, 64), norm_groups=8)
+        else:
+            ucfg = sd2.UNetConfig()
+            vcfg = sd2.VAEConfig()
+        return jmar.init_params(jax.random.key(7), ucfg, vcfg), ucfg
+    from prisma_tpu.weights.torch_convert import convert_marigold
+    mdir = os.path.join(runtime.models_dir, "marigold")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(
+            f"{mdir} not found; place the Bingxin/Marigold diffusers snapshot "
+            "(unet/vae/text_encoder torch weights) there or set "
+            "runtime.random_weights=True")
+    return convert_marigold(mdir), sd2.UNetConfig()

@@ -579,3 +579,234 @@ def convert_patchfusion(sd: dict, dtype=jnp.float32) -> dict:
         },
         "head": convert_zoedepth_head(sd, dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Marigold (diffusers snapshot: unet/ vae/ text_encoder/)
+# ---------------------------------------------------------------------------
+
+def _res_block(sd, key, dtype, time_emb=True):
+    p = {"norm1": _norm(sd, key + ".norm1", dtype),
+         "conv1": _conv(sd, key + ".conv1", dtype),
+         "norm2": _norm(sd, key + ".norm2", dtype),
+         "conv2": _conv(sd, key + ".conv2", dtype)}
+    if time_emb and key + ".time_emb_proj.weight" in sd:
+        p["time_emb"] = _lin(sd, key + ".time_emb_proj", dtype)
+    if key + ".conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv(sd, key + ".conv_shortcut", dtype)
+    return p
+
+
+def _sd_xattn(sd, key, dtype):
+    return {"q": _lin(sd, key + ".to_q", dtype),
+            "k": _lin(sd, key + ".to_k", dtype),
+            "v": _lin(sd, key + ".to_v", dtype),
+            "out": _lin(sd, key + ".to_out.0", dtype)}
+
+
+def _sd_spatial(sd, key, dtype):
+    blocks = []
+    i = 0
+    while f"{key}.transformer_blocks.{i}.norm1.weight" in sd:
+        t = f"{key}.transformer_blocks.{i}"
+        blocks.append({
+            "norm1": _norm(sd, t + ".norm1", dtype),
+            "attn1": _sd_xattn(sd, t + ".attn1", dtype),
+            "norm2": _norm(sd, t + ".norm2", dtype),
+            "attn2": _sd_xattn(sd, t + ".attn2", dtype),
+            "norm3": _norm(sd, t + ".norm3", dtype),
+            "ff": {"proj": _lin(sd, t + ".ff.net.0.proj", dtype),
+                   "out": _lin(sd, t + ".ff.net.2", dtype)},
+        })
+        i += 1
+    return {"norm": _norm(sd, key + ".norm", dtype),
+            "proj_in": _lin(sd, key + ".proj_in", dtype),
+            "blocks": blocks,
+            "proj_out": _lin(sd, key + ".proj_out", dtype)}
+
+
+def convert_sd2_unet(sd: dict, dtype=jnp.float32) -> dict:
+    sd = strip_prefix(sd, "")
+    down = []
+    bi = 0
+    while f"down_blocks.{bi}.resnets.0.norm1.weight" in sd:
+        b = f"down_blocks.{bi}"
+        block = {"resnets": []}
+        j = 0
+        while f"{b}.resnets.{j}.norm1.weight" in sd:
+            block["resnets"].append(_res_block(sd, f"{b}.resnets.{j}", dtype))
+            j += 1
+        if f"{b}.attentions.0.norm.weight" in sd:
+            block["attns"] = []
+            for k in range(j):
+                block["attns"].append(_sd_spatial(sd, f"{b}.attentions.{k}",
+                                                  dtype))
+        if f"{b}.downsamplers.0.conv.weight" in sd:
+            block["down"] = _conv(sd, f"{b}.downsamplers.0.conv", dtype)
+        down.append(block)
+        bi += 1
+
+    up = []
+    bi = 0
+    while f"up_blocks.{bi}.resnets.0.norm1.weight" in sd:
+        b = f"up_blocks.{bi}"
+        block = {"resnets": []}
+        j = 0
+        while f"{b}.resnets.{j}.norm1.weight" in sd:
+            block["resnets"].append(_res_block(sd, f"{b}.resnets.{j}", dtype))
+            j += 1
+        if f"{b}.attentions.0.norm.weight" in sd:
+            block["attns"] = [_sd_spatial(sd, f"{b}.attentions.{k}", dtype)
+                              for k in range(j)]
+        if f"{b}.upsamplers.0.conv.weight" in sd:
+            block["up"] = _conv(sd, f"{b}.upsamplers.0.conv", dtype)
+        up.append(block)
+        bi += 1
+
+    return {
+        "time1": _lin(sd, "time_embedding.linear_1", dtype),
+        "time2": _lin(sd, "time_embedding.linear_2", dtype),
+        "conv_in": _conv(sd, "conv_in", dtype),
+        "down": down,
+        "mid": {"res1": _res_block(sd, "mid_block.resnets.0", dtype),
+                "attn": _sd_spatial(sd, "mid_block.attentions.0", dtype),
+                "res2": _res_block(sd, "mid_block.resnets.1", dtype)},
+        "up": up,
+        "norm_out": _norm(sd, "conv_norm_out", dtype),
+        "conv_out": _conv(sd, "conv_out", dtype),
+    }
+
+
+def _vae_attn_params(sd, key, dtype):
+    # newer diffusers: to_q/to_k/to_v/to_out.0 + group_norm; older: q/k/v/
+    # proj_attn + norm. Handle both.
+    if key + ".to_q.weight" in sd:
+        return {"norm": _norm(sd, key + ".group_norm", dtype),
+                "q": _lin(sd, key + ".to_q", dtype),
+                "k": _lin(sd, key + ".to_k", dtype),
+                "v": _lin(sd, key + ".to_v", dtype),
+                "out": _lin(sd, key + ".to_out.0", dtype)}
+    def lin1x1(name):
+        w = _np(sd[key + f".{name}.weight"])
+        if w.ndim == 4:  # stored as 1x1 conv
+            w = w[:, :, 0, 0]
+        return {"w": jnp.asarray(w.T, dtype),
+                "b": jnp.asarray(_np(sd[key + f".{name}.bias"]), dtype)}
+    return {"norm": _norm(sd, key + ".norm", dtype) if key + ".norm.weight" in sd
+            else _norm(sd, key + ".group_norm", dtype),
+            "q": lin1x1("q" if key + ".q.weight" in sd else "query"),
+            "k": lin1x1("k" if key + ".k.weight" in sd else "key"),
+            "v": lin1x1("v" if key + ".v.weight" in sd else "value"),
+            "out": lin1x1("proj_attn" if key + ".proj_attn.weight" in sd
+                          else "proj_out")}
+
+
+def convert_sd_vae(sd: dict, dtype=jnp.float32) -> dict:
+    sd = strip_prefix(sd, "")
+
+    def blocks(prefix, kind):
+        out = []
+        bi = 0
+        while f"{prefix}.{bi}.resnets.0.norm1.weight" in sd:
+            b = f"{prefix}.{bi}"
+            block = {"resnets": []}
+            j = 0
+            while f"{b}.resnets.{j}.norm1.weight" in sd:
+                block["resnets"].append(
+                    _res_block(sd, f"{b}.resnets.{j}", dtype, time_emb=False))
+                j += 1
+            if f"{b}.downsamplers.0.conv.weight" in sd:
+                block["down"] = _conv(sd, f"{b}.downsamplers.0.conv", dtype)
+            if f"{b}.upsamplers.0.conv.weight" in sd:
+                block["up"] = _conv(sd, f"{b}.upsamplers.0.conv", dtype)
+            out.append(block)
+            bi += 1
+        return out
+
+    return {
+        "enc": {
+            "conv_in": _conv(sd, "encoder.conv_in", dtype),
+            "down": blocks("encoder.down_blocks", "down"),
+            "mid": {"res1": _res_block(sd, "encoder.mid_block.resnets.0", dtype,
+                                       time_emb=False),
+                    "attn": _vae_attn_params(sd, "encoder.mid_block.attentions.0",
+                                             dtype),
+                    "res2": _res_block(sd, "encoder.mid_block.resnets.1", dtype,
+                                       time_emb=False)},
+            "norm_out": _norm(sd, "encoder.conv_norm_out", dtype),
+            "conv_out": _conv(sd, "encoder.conv_out", dtype),
+            "quant": _conv(sd, "quant_conv", dtype),
+        },
+        "dec": {
+            "post_quant": _conv(sd, "post_quant_conv", dtype),
+            "conv_in": _conv(sd, "decoder.conv_in", dtype),
+            "mid": {"res1": _res_block(sd, "decoder.mid_block.resnets.0", dtype,
+                                       time_emb=False),
+                    "attn": _vae_attn_params(sd, "decoder.mid_block.attentions.0",
+                                             dtype),
+                    "res2": _res_block(sd, "decoder.mid_block.resnets.1", dtype,
+                                       time_emb=False)},
+            "up": blocks("decoder.up_blocks", "up"),
+            "norm_out": _norm(sd, "decoder.conv_norm_out", dtype),
+            "conv_out": _conv(sd, "decoder.conv_out", dtype),
+        },
+    }
+
+
+def convert_clip_text(sd: dict, dtype=jnp.float32) -> dict:
+    sd = strip_prefix(sd, "text_model.")
+    blocks = []
+    i = 0
+    while f"encoder.layers.{i}.layer_norm1.weight" in sd:
+        b = f"encoder.layers.{i}."
+        blocks.append({
+            "norm1": _norm(sd, b + "layer_norm1", dtype),
+            "q": _lin(sd, b + "self_attn.q_proj", dtype),
+            "k": _lin(sd, b + "self_attn.k_proj", dtype),
+            "v": _lin(sd, b + "self_attn.v_proj", dtype),
+            "out": _lin(sd, b + "self_attn.out_proj", dtype),
+            "norm2": _norm(sd, b + "layer_norm2", dtype),
+            "fc1": _lin(sd, b + "mlp.fc1", dtype),
+            "fc2": _lin(sd, b + "mlp.fc2", dtype),
+        })
+        i += 1
+    return {
+        "token_embed": jnp.asarray(
+            _np(sd["embeddings.token_embedding.weight"]), dtype),
+        "pos_embed": jnp.asarray(
+            _np(sd["embeddings.position_embedding.weight"]), dtype),
+        "blocks": blocks,
+        "final_norm": _norm(sd, "final_layer_norm", dtype),
+    }
+
+
+def convert_marigold(snapshot_dir: str, dtype=jnp.float32) -> dict:
+    """Bingxin/Marigold diffusers snapshot -> param tree (computes the empty-
+    prompt embedding at convert time, so the text tower isn't kept at runtime)."""
+    import glob
+    import os as _os
+
+    def load_component(sub):
+        for pat in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                    "*.bin"):
+            matches = glob.glob(_os.path.join(snapshot_dir, sub, pat))
+            if matches:
+                return _load_torch_state_dict_file(matches[0])
+        raise FileNotFoundError(f"no torch weights under {snapshot_dir}/{sub}")
+
+    unet = convert_sd2_unet(load_component("unet"), dtype)
+    vae = convert_sd_vae(load_component("vae"), dtype)
+    text = convert_clip_text(load_component("text_encoder"), dtype)
+    from prisma_tpu.models import marigold as jmar
+    empty = jmar.empty_text_embed(text)
+    return {"unet": unet, "vae": vae,
+            "empty_text_embed": jnp.asarray(empty, dtype)}
+
+
+def _load_torch_state_dict_file(path: str) -> dict:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    return sd
