@@ -27,7 +27,25 @@ def _make_step(params, infer, flip: bool, need_depth: bool, dtype=None):
     if dtype is not None:
         from prisma_tpu.weights.store import cast_params
         params = cast_params(params, dtype)
-    params = jax.device_put(params)
+    # multi-chip: replicate params, shard the frame batch over the data mesh
+    # (XLA inserts the ICI collectives for the per-frame min/max reductions)
+    shard_batch = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from prisma_tpu.parallel import batch_sharding, get_mesh, replicate
+        mesh = get_mesh()
+        params = jax.device_put(params, replicate(mesh))
+        sharding = batch_sharding(mesh)
+
+        def shard_batch(f):
+            f = jnp.asarray(f)
+            # shard only batches the mesh divides evenly; smaller/ragged
+            # batches run replicated (single-program)
+            if f.shape[0] % n_dev == 0:
+                return jax.device_put(f, sharding)
+            return f
+    else:
+        params = jax.device_put(params)
 
     @jax.jit
     def step(params, frames):
@@ -43,6 +61,8 @@ def _make_step(params, infer, flip: bool, need_depth: bool, dtype=None):
             out["depth"] = depth
         return out
 
+    if shard_batch is not None:
+        return lambda frames: step(params, shard_batch(frames))
     return lambda frames: step(params, frames)
 
 

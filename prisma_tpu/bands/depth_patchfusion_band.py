@@ -40,10 +40,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params, model_hw = load_patchfusion(runtime)
     dtype = runtime.resolve_dtype()
-    # rN random-tile refinement beyond the 3 half-offset passes is pending;
-    # r* currently runs the p49 pass set (the deterministic part of rN)
-    eff_mode = "p49" if mode.startswith("r") else mode
-    infer = functools.partial(_infer_frames, mode=eff_mode, model_hw=model_hw,
+    infer = functools.partial(_infer_frames, mode=mode, model_hw=model_hw,
                               dtype=dtype)
     flip = False  # metric
 

@@ -124,6 +124,28 @@ def main(argv=None):
     name_rgba = "rgba." + extension
     path_rgba = os.path.join(folder_name, name_rgba)
 
+    # Record3D side-by-side depth videos (reference process.py:124-160)
+    encoding_depth = "none"
+    if args.record3d:
+        args.rgbd = "right"
+        encoding_depth = "hue"
+        if video:
+            _, height, _, _ = get_video_data(args.input)
+        else:
+            _, height = get_image_size(args.input)
+        r3d = meta.get_record3d_data(args.input)
+        cam = r3d["intrinsicMatrix"]
+        depth_range = r3d["rangeOfEncodedDepth"]
+        data["focal_length"] = max(cam[0], cam[4])
+        data["principal_point"] = [cam[6], cam[7]]
+        data["field_of_view"] = float(
+            2 * np.arctan(0.5 * height / data["focal_length"]) * 180 / np.pi)
+        meta.add_band(data, "depth", url="depth." + extension)
+        data["bands"]["depth"]["values"] = {
+            "min": {"type": "float", "value": depth_range[0]},
+            "max": {"type": "float", "value": depth_range[1]},
+        }
+
     # rgba always runs first, with the images/ subpath (reference process.py:172)
     meta.add_band(data, "rgba", url=name_rgba)
     meta.write_metadata(folder_name, data)
@@ -132,7 +154,10 @@ def main(argv=None):
                            force_extension="png")
     rgba_io.data = data
     rgba_io.meta_root = folder_name
-    rgba_band.run(rgba_io, fps=args.fps, rgbd=args.rgbd or "none")
+    rgba_band.run(rgba_io, fps=args.fps, rgbd=args.rgbd or "none",
+                  encoding_depth=encoding_depth,
+                  output_depth=os.path.join(folder_name, "depth." + extension)
+                  if args.rgbd else "")
     data = meta.load_metadata(folder_name)
 
     # global media metadata (process.py:175-189)

@@ -472,9 +472,25 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     if mode != "p16":
         passes += [(crop[1] // 2, 0), (0, crop[0] // 2),
                    (crop[1] // 2, crop[0] // 2)]
+    # rN: N extra random tiles after the half-offset passes (reference
+    # depth_patchfusion.py:108-111 / infer_user.random_tile), processed in
+    # batches with the running-average prior refreshed per batch
+    n_random = int(mode[1:]) if mode.startswith("r") and mode[1:].isdigit() else 0
+    rng_tiles = np.random.default_rng(2024)
+    rand_batch = 8
+    rand_passes = [None] * ((n_random + rand_batch - 1) // rand_batch) \
+        if n_random else []
 
-    for pass_i, (off_x, off_y) in enumerate(passes):
-        tiles = _tile_grid(resolution, crop, off_x, off_y)
+    for pass_i, pass_spec in enumerate(passes + rand_passes):
+        if pass_spec is None:
+            remaining = n_random - (pass_i - len(passes)) * rand_batch
+            count = min(rand_batch, remaining)
+            tiles = [(int(rng_tiles.integers(0, resolution[0] - crop[0] + 1)),
+                      int(rng_tiles.integers(0, resolution[1] - crop[1] + 1)))
+                     for _ in range(count)]
+        else:
+            off_x, off_y = pass_spec
+            tiles = _tile_grid(resolution, crop, off_x, off_y)
         crops, areas, bboxes, priors = [], [], [], []
         for (y, x) in tiles:
             tile_img = img_t[y:y + crop[0], x:x + crop[1]]

@@ -66,11 +66,22 @@ def attention(p, x, num_heads: int, precision=None):
     """Pre-softmax-scaled multi-head self-attention (DINOv2/timm convention).
 
     p: {qkv: {w [D, 3D], b}, proj: {w [D, D], b}}. x: [B, N, D].
+    With PRISMA_FLASH_ATTENTION=1 (and full f32 precision not requested) the
+    Pallas flash kernel handles the softmax(QK^T)V core.
     """
+    import os
     B, N, D = x.shape
     qkv = linear(p["qkv"], x, precision=precision)  # [B, N, 3D]
     qkv = qkv.reshape(B, N, 3, num_heads, D // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
+    if (os.environ.get("PRISMA_FLASH_ATTENTION", "0") == "1"
+            and precision is None):
+        from prisma_tpu.ops.pallas.flash_attention import flash_attention
+        d = D // num_heads
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(B * num_heads, N, d)
+        out = flash_attention(fold(q), fold(k), fold(v))
+        out = out.reshape(B, num_heads, N, d).transpose(0, 2, 1, 3)
+        return linear(p["proj"], out.reshape(B, N, D), precision=precision)
     scale = (D // num_heads) ** -0.5
     attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, precision=precision)
     attn = jax.nn.softmax(attn, axis=-1)

@@ -116,3 +116,21 @@ def set_default_band(path: str, band: str, band_default: str) -> None:
     if data and band_default in data.get("bands", {}):
         data["bands"][band] = data["bands"][band_default]
         write_metadata(path, data)
+
+
+def get_media_info(path: str) -> dict:
+    """Container metadata via pymediainfo (optional dependency)."""
+    try:
+        from pymediainfo import MediaInfo
+    except ImportError as e:
+        raise ImportError(
+            "Record3D support requires the pymediainfo package") from e
+    import json as _json
+    return _json.loads(MediaInfo.parse(path).to_json())
+
+
+def get_record3d_data(path: str) -> dict:
+    """Record3D's embedded camera metadata (reference meta.py:148-156)."""
+    import json as _json
+    info = get_media_info(path)
+    return _json.loads(info["tracks"][0]["movie_more"])

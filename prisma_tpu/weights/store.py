@@ -215,3 +215,35 @@ def load_marigold(runtime: RuntimeConfig):
             "(unet/vae/text_encoder torch weights) there or set "
             "runtime.random_weights=True")
     return convert_marigold(mdir), sd2.UNetConfig()
+
+
+# ---------------------------------------------------------------------------
+# Converted-weight caching (orbax) — SURVEY.md §5 checkpoint/resume
+# ---------------------------------------------------------------------------
+
+def cache_dir(runtime: RuntimeConfig) -> str:
+    return os.path.join(runtime.models_dir, "prisma_tpu_cache")
+
+
+def save_converted(runtime: RuntimeConfig, name: str, params) -> None:
+    """Persist a converted param tree with orbax so the torch conversion runs
+    once per checkpoint."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(cache_dir(runtime), name))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, params, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_converted(runtime: RuntimeConfig, name: str):
+    """Load a cached converted tree, or None if absent."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(cache_dir(runtime), name))
+    if not os.path.isdir(path):
+        return None
+    ckpt = ocp.StandardCheckpointer()
+    try:
+        return ckpt.restore(path)
+    except Exception as e:
+        print(f"[weights] cache restore failed for {name}: {e}")
+        return None

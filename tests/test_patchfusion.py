@@ -40,3 +40,13 @@ def test_patchfusion_infer_tiny():
     depth = pf.infer(params, img, mode="p16", model_hw=model_hw)
     assert depth.shape == (100, 140)
     assert np.isfinite(depth).all()
+
+
+@pytest.mark.slow
+def test_patchfusion_infer_random_tiles():
+    model_hw = (64, 96)
+    params = pf.init_params(jax.random.key(0), beit_depth=4, model_hw=model_hw)
+    img = np.random.default_rng(1).uniform(0, 1, (96, 128, 3)).astype(np.float32)
+    depth = pf.infer(params, img, mode="r3", model_hw=model_hw)
+    assert depth.shape == (96, 128)
+    assert np.isfinite(depth).all()

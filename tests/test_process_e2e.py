@@ -75,3 +75,27 @@ def test_process_image_e2e(tmp_path):
     assert "value" in meta["bands"]["depth_anything"]["values"]["min"]
     img = cv2.imread(os.path.join(folder, "depth_anything.png"))
     assert img.shape == (48, 72, 3)
+
+
+def test_depth_band_multichip_sharded(tmp_path):
+    """The depth step runs sharded over the 8 virtual CPU devices."""
+    import jax
+    import numpy as np
+    assert len(jax.devices()) == 8
+    from prisma_tpu.bands import depth_anything_band
+    from prisma_tpu.runtime.config import RuntimeConfig
+    from prisma_tpu.weights.store import load_depth_anything
+
+    runtime = RuntimeConfig(random_weights=True, compute_dtype="float32",
+                            batch_size=8)
+    kind, params, enc = load_depth_anything(runtime, encoder="vits")
+    import functools
+    from prisma_tpu.models import depth_anything as da
+    import os
+    os.environ["PRISMA_DA_TARGET"] = "126"
+    infer = functools.partial(da.infer, encoder=enc)
+    step = depth_anything_band._make_step(params, infer, True, False)
+    frames = np.random.default_rng(0).integers(0, 255, (8, 48, 64, 3)).astype(np.uint8)
+    out = step(frames)
+    assert np.asarray(out["heat"]).shape == (8, 48, 64, 3)
+    assert np.asarray(out["min"]).shape == (8,)

@@ -82,3 +82,20 @@ def test_view_helpers(tmp_path):
     scaled, scale = scale_camera(cam, (320, 240))
     np.testing.assert_allclose(scale, [0.5, 0.5])
     np.testing.assert_allclose(scaled.params, [300, 300, 160, 120])
+
+
+def test_weight_cache_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.runtime.config import RuntimeConfig
+    from prisma_tpu.weights import store
+
+    runtime = RuntimeConfig(models_dir=str(tmp_path))
+    params = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+              "nested": {"b": jnp.ones((4,), jnp.bfloat16)}}
+    store.save_converted(runtime, "demo", params)
+    back = store.load_converted(runtime, "demo")
+    assert back is not None
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(params["a"]))
+    assert back["nested"]["b"].dtype == jnp.bfloat16
+    assert store.load_converted(runtime, "missing") is None
