@@ -10,10 +10,11 @@ TPU-first design choices:
 - the refinement loop is a `lax.scan` (compiles once, not 20 unrolled copies);
 - convex upsample + mask head run ONCE after the scan (test-mode output only
   depends on the final iteration — numerically identical, 20x less mask work);
-- correlation pyramid is materialized as [B*H1*W1, Hl*Wl] matrices and the
-  window lookup is a vectorized bilinear gather (take_along_axis), batched over
-  fwd+bwd pairs; a fused Pallas on-the-fly variant is the planned upgrade for
-  the native `alt_cuda_corr` equivalent (SURVEY.md §2.9 #6);
+- correlation defaults to the FUSED lookup (alt_cuda_corr equivalent,
+  SURVEY.md §2.9 #6): pooling/bilinear-sampling commute with the feature dot
+  product, so the window correlations are computed on the fly from a pooled
+  fmap2 pyramid — numerically exact vs the materialized [HW, HW] volume
+  (corr_impl='volume'), without ever holding it in HBM;
 - norms are folded: eval-mode BatchNorm becomes a per-channel affine baked at
   weight-conversion time; InstanceNorm (no affine in torch) is computed inline.
 """
@@ -122,6 +123,88 @@ def _bilinear_gather(vol, x, y):
             + corner(x0i + 1, y0i + 1, fx * fy))
 
 
+def build_fmap_pyramid(fmap2, num_levels: int):
+    """Pooled fmap2 pyramid for the fused (memory-efficient) correlation.
+
+    Exactness: avg-pooling and bilinear sampling are linear in fmap2, so
+    corr-volume pooling/sampling commutes with the feature dot product:
+    sample(avgpool(corr))[p, x] == dot(fmap1[p], sample(avgpool(fmap2))[x]).
+    This is the TPU-native equivalent of the reference's alt_cuda_corr
+    extension (corr.py:63-91, SURVEY.md §2.9 #6) — no [HW, HW] volume.
+    """
+    pyr = [fmap2]
+    f = fmap2
+    for _ in range(num_levels - 1):
+        B, h, w, C = f.shape
+        f = f[:, : h - h % 2, : w - w % 2]
+        f = f.reshape(B, h // 2, 2, w // 2, 2, C).mean(axis=(2, 4))
+        pyr.append(f)
+    return pyr
+
+
+def _bilinear_gather_feat(fmap, x, y):
+    """fmap [B, H, W, C]; x/y [B, K] -> [B, K, C], zeros outside."""
+    B, H, W, C = fmap.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = fmap.reshape(B, H * W, C)
+
+    def corner(xi, yi, wgt):
+        valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))[..., None]
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = jnp.take_along_axis(flat, idx.astype(jnp.int32)[..., None],
+                                   axis=1)
+        return vals * wgt * valid
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    return (corner(x0i, y0i, (1 - fx) * (1 - fy))
+            + corner(x0i + 1, y0i, fx * (1 - fy))
+            + corner(x0i, y0i + 1, (1 - fx) * fy)
+            + corner(x0i + 1, y0i + 1, fx * fy))
+
+
+def corr_lookup_fused(fmap1, fmap2_pyramid, coords, radius: int,
+                      precision=None, tap_chunk: int = 9):
+    """Memory-efficient window lookup: per level, gather bilinear feature
+    samples of pooled fmap2 and dot with fmap1 on the fly, processing the
+    (2r+1)^2 window taps in chunks of `tap_chunk` (peak HBM stays
+    O(B * HW * tap_chunk * C) instead of the [HW, HW] volume)."""
+    B, H1, W1, C = fmap1.shape
+    r = radius
+    n = 2 * r + 1
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox = jnp.repeat(offs, n)   # reference window ordering (x on the slow axis)
+    oy = jnp.tile(offs, n)
+    n_taps = n * n
+    assert n_taps % tap_chunk == 0
+    ox = ox.reshape(-1, tap_chunk)
+    oy = oy.reshape(-1, tap_chunk)
+    cx = coords[..., 0].reshape(B, H1 * W1, 1)
+    cy = coords[..., 1].reshape(B, H1 * W1, 1)
+    f1 = fmap1.reshape(B, H1 * W1, C) / jnp.sqrt(jnp.float32(C))
+    out = []
+    for i, f2 in enumerate(fmap2_pyramid):
+        cxi = cx / (2 ** i)
+        cyi = cy / (2 ** i)
+
+        def chunk_fn(offsets, f2=f2, cxi=cxi, cyi=cyi):
+            ox_c, oy_c = offsets
+            sx = (cxi + ox_c[None, None, :]).reshape(B, -1)
+            sy = (cyi + oy_c[None, None, :]).reshape(B, -1)
+            samples = _bilinear_gather_feat(f2, sx, sy)
+            samples = samples.reshape(B, H1 * W1, tap_chunk, C)
+            return jnp.einsum("bpc,bpkc->bpk", f1, samples,
+                              precision=precision)
+
+        chunks = jax.lax.map(chunk_fn, (ox, oy))  # [n_chunks, B, HW, chunk]
+        lvl = jnp.moveaxis(chunks, 0, 2).reshape(B, H1 * W1, n_taps)
+        out.append(lvl)
+    return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
+
+
 def corr_lookup(pyramid, coords, radius: int):
     """coords [B, H1, W1, 2] (x, y) -> [B, H1, W1, levels*(2r+1)^2].
 
@@ -214,11 +297,15 @@ def convex_upsample(flow, mask):
 # ---------------------------------------------------------------------------
 
 def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
-            iters: int | None = None, precision=None):
+            iters: int | None = None, precision=None,
+            corr_impl: str = "fused"):
     """image1/2: [B, H, W, 3] float in [0, 255], H and W multiples of 8.
 
     Returns (flow_lowres [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
     reference's test_mode outputs (raft.py:143-144).
+
+    corr_impl: 'fused' (memory-efficient, alt_cuda_corr-equivalent; exact) or
+    'volume' (materialized [HW, HW] pyramid, the reference default path).
     """
     iters = cfg.iters if iters is None else iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
@@ -228,7 +315,10 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     fmaps = encoder_forward(params["fnet"], both, "instance", precision)
     B = image1.shape[0]
     fmap1, fmap2 = fmaps[:B], fmaps[B:]
-    pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
+    if corr_impl == "fused":
+        f2_pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+    else:
+        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
 
     cnet = encoder_forward(params["cnet"], img1, "affine", precision)
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
@@ -238,22 +328,30 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     gx, gy = jnp.meshgrid(jnp.arange(W8, dtype=jnp.float32),
                           jnp.arange(H8, dtype=jnp.float32))
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (B, H8, W8, 2))
+    dtype = fmap1.dtype
 
     def step(carry, _):
         net, coords1 = carry
-        corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+        if corr_impl == "fused":
+            corr = corr_lookup_fused(fmap1, f2_pyramid, coords1.astype(jnp.float32),
+                                     cfg.corr_radius, precision)
+        else:
+            corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
         flow = coords1 - coords0
-        motion = _motion_encoder(params["update"]["encoder"], flow, corr, precision)
+        motion = _motion_encoder(params["update"]["encoder"],
+                                 flow.astype(dtype), corr.astype(dtype),
+                                 precision)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = _sep_conv_gru(params["update"]["gru"], net, gru_in, precision)
         delta = _flow_head(params["update"]["flow_head"], net, precision)
-        return (net, coords1 + delta), None
+        return (net, coords1 + delta.astype(jnp.float32)), None
 
+    coords0 = coords0.astype(jnp.float32)
     (net, coords1), _ = jax.lax.scan(step, (net, coords0), None, length=iters)
 
     flow_low = coords1 - coords0
     up_mask = _mask_head(params["update"]["mask"], net, precision)
-    flow_up = convex_upsample(flow_low, up_mask)
+    flow_up = convex_upsample(flow_low, up_mask.astype(jnp.float32))
     return flow_low, flow_up
 
 

@@ -116,3 +116,21 @@ def test_fwdbwd_mask_parity():
     # borderline disagreements
     assert (np.asarray(ours_f) != ref_f).mean() < 0.01
     assert (np.asarray(ours_b) != ref_b).mean() < 0.01
+
+
+def test_fused_corr_matches_volume():
+    """The alt_cuda_corr-equivalent fused lookup is numerically exact vs the
+    materialized corr-volume pyramid."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 16, 24, 32
+    f1 = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    coords = jnp.asarray(
+        rng.uniform(-2, 20, size=(B, H, W, 2)).astype(np.float32))
+    pyr = jraft.build_corr_pyramid(f1, f2, 4, precision="highest")
+    vol = np.asarray(jraft.corr_lookup(pyr, coords, 4))
+    f2p = jraft.build_fmap_pyramid(f2, 4)
+    fused = np.asarray(jraft.corr_lookup_fused(f1, f2p, coords, 4,
+                                               precision="highest"))
+    np.testing.assert_allclose(fused, vol, atol=2e-4)
