@@ -5,6 +5,7 @@ the shared output contract."""
 from __future__ import annotations
 
 import functools
+import os
 
 from prisma_tpu.bands.base import BandIO
 from prisma_tpu.bands.flow_base import run_flow_band
@@ -22,7 +23,11 @@ def run(input_path: str, output: str = "", subpath: str = "",
         runtime: RuntimeConfig | None = None) -> BandIO:
     runtime = runtime or RuntimeConfig()
     params = load_raft(runtime)
-    infer = functools.partial(jraft.infer_pairs, iters=iterations)
+    # PRISMA_RAFT_CORR=fused selects the O(HW)-memory lookup for inputs
+    # whose materialized corr pyramid would not fit HBM (>>1080p).
+    corr_impl = os.environ.get("PRISMA_RAFT_CORR", "volume")
+    infer = functools.partial(jraft.infer_pairs, iters=iterations,
+                              corr_impl=corr_impl)
     return run_flow_band(BAND, input_path, params, infer, output=output,
                          subpath=subpath, backwards=backwards, mask=mask,
                          scale=scale, runtime=runtime)

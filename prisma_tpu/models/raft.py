@@ -10,17 +10,19 @@ TPU-first design choices:
 - the refinement loop is a `lax.scan` (compiles once, not 20 unrolled copies);
 - convex upsample + mask head run ONCE after the scan (test-mode output only
   depends on the final iteration — numerically identical, 20x less mask work);
-- correlation defaults to the FUSED lookup (alt_cuda_corr equivalent,
-  SURVEY.md §2.9 #6): pooling/bilinear-sampling commute with the feature dot
-  product, so the window correlations are computed on the fly from a pooled
-  fmap2 pyramid — numerically exact vs the materialized [HW, HW] volume
-  (corr_impl='volume'), without ever holding it in HBM;
+- correlation offers two exact implementations: the materialized [HW, HW]
+  volume (default — one MXU matmul, scalar window gathers; fastest on TPU at
+  the pipeline's working sizes) and a FUSED lookup (alt_cuda_corr equivalent,
+  SURVEY.md §2.9 #6: pooling/bilinear-sampling commute with the feature dot
+  product, so windows are computed on the fly from a pooled fmap2 pyramid —
+  O(HW) memory for beyond-volume resolutions);
 - norms are folded: eval-mode BatchNorm becomes a per-channel affine baked at
   weight-conversion time; InstanceNorm (no affine in torch) is computed inline.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -89,7 +91,10 @@ def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
     B, H, W, C = fmap1.shape
     corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(B, H * W, C),
                       fmap2.reshape(B, H * W, C), precision=precision)
-    corr = corr / jnp.sqrt(jnp.float32(C))
+    # Python-float scale keeps the volume in the fmap dtype (bf16 in
+    # production): a jnp.float32 scalar would promote the [B, HW, HW]
+    # volume to f32 and triple its HBM footprint.
+    corr = corr * (1.0 / math.sqrt(C))
     corr = corr.reshape(B * H * W, H, W)
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -298,14 +303,16 @@ def convex_upsample(flow, mask):
 
 def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
             iters: int | None = None, precision=None,
-            corr_impl: str = "fused"):
+            corr_impl: str = "volume"):
     """image1/2: [B, H, W, 3] float in [0, 255], H and W multiples of 8.
 
     Returns (flow_lowres [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
     reference's test_mode outputs (raft.py:143-144).
 
-    corr_impl: 'fused' (memory-efficient, alt_cuda_corr-equivalent; exact) or
-    'volume' (materialized [HW, HW] pyramid, the reference default path).
+    corr_impl: 'volume' (materialized [HW, HW] pyramid — one MXU matmul +
+    scalar gathers; the fast choice on TPU up to ~1080p x 0.75) or 'fused'
+    (alt_cuda_corr-equivalent on-the-fly computation; exact, O(HW) memory,
+    but per-tap feature gathers are slow on TPU — use when the volume OOMs).
     """
     iters = cfg.iters if iters is None else iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
@@ -372,7 +379,8 @@ def unpad(x, pads):
 
 
 def infer_pairs(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
-                iters: int | None = None, precision=None):
+                iters: int | None = None, precision=None,
+                corr_impl: str = "volume"):
     """Driver-equivalent inference with padding: fwd+bwd in one doubled batch.
 
     image1/2: [B, H, W, 3] float 0-255 (already scaled by the driver's 0.75).
@@ -382,7 +390,7 @@ def infer_pairs(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     i2, _ = pad_to_multiple(image2)
     a = jnp.concatenate([i1, i2], axis=0)
     b = jnp.concatenate([i2, i1], axis=0)
-    _, flow_up = forward(params, a, b, cfg, iters, precision)
+    _, flow_up = forward(params, a, b, cfg, iters, precision, corr_impl)
     flow_up = unpad(flow_up, pads)
     B = image1.shape[0]
     return flow_up[:B], flow_up[B:]
