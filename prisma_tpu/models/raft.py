@@ -106,18 +106,35 @@ def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
 
 
 def _bilinear_gather(vol, x, y):
-    """vol [N, H, W], x/y [N, K] pixel coords -> [N, K], zero outside."""
-    N, H, W = vol.shape
+    """vol [N, H, W] or pre-flattened ([N*H*W], (N, H, W)); x/y [N, K] pixel
+    coords -> [N, K], zero outside.
+
+    The gather runs on a 1-D operand with global flat indices. A 1-D array has
+    a single possible layout, so XLA cannot insert a layout-converting copy of
+    the (GB-sized) corr volume next to the gather. With the natural 2-D form,
+    the einsum-produced volume is carried through the lookup scan column-major
+    and XLA transposes ALL of it every iteration (~0.5 s/iter at 1080p x0.75,
+    measured on v5e) — the transpose happens at most once here, outside the
+    loop, when the caller pre-flattens (see forward()).
+    """
+    if isinstance(vol, tuple):
+        flat, (N, H, W) = vol
+    else:
+        N, H, W = vol.shape
+        flat = vol.reshape(N * H * W)
+    if N * H * W >= 2 ** 31:
+        raise ValueError("corr volume too large for int32 flat indexing; "
+                         "use corr_impl='fused'")
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    flat = vol.reshape(N, H * W)
+    base = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
 
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        vals = jnp.take_along_axis(flat, idx.astype(jnp.int32), axis=1)
+        idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        vals = flat[idx]
         return vals * w * valid
 
     x0i = x0.astype(jnp.int32)
@@ -210,6 +227,51 @@ def corr_lookup_fused(fmap1, fmap2_pyramid, coords, radius: int,
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 
 
+def _window_patch_lookup(vol, cx, cy, r: int):
+    """Bilinear (2r+1)^2 window lookup via one integer patch per pixel.
+
+    vol [N, H, W]; cx/cy [N] continuous window centers. Because every window
+    tap is an INTEGER offset from the same center, all taps share one
+    fractional part — so the whole window is 4 shifted (2r+1)^2 slices of a
+    single (2r+2)^2 integer patch. The patch is fetched with two
+    take_along_axis calls: the first slices whole rows (contiguous in W,
+    DMA-friendly), the second picks columns from the [N, 2r+2, W] row block.
+    This replaces 4*(2r+1)^2 scattered single-element gathers per pixel with
+    2r+2 row slices — the latency-bound random HBM access was what made the
+    naive formulation ~0.5 s/iteration at 1080p x0.75 on v5e.
+
+    Out-of-bounds taps are exact zeros (grid_sample zero-padding semantics,
+    reference corr.py bilinear_sampler), enforced by separable validity masks.
+    Returns [N, (2r+1)^2] with the x-offset on the SLOW window axis
+    (reference channel ordering quirk, corr.py:37-43).
+    """
+    N, H, W = vol.shape
+    n = 2 * r + 1
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[:, None, None]
+    fy = (cy - y0)[:, None, None]
+    xb = x0.astype(jnp.int32) - r   # patch origin
+    yb = y0.astype(jnp.int32) - r
+    ks = jnp.arange(n + 1, dtype=jnp.int32)
+    yi = yb[:, None] + ks[None, :]                    # [N, n+1]
+    xi = xb[:, None] + ks[None, :]                    # [N, n+1]
+    rows = jnp.take_along_axis(vol, jnp.clip(yi, 0, H - 1)[:, :, None],
+                               axis=1)                # [N, n+1, W]
+    patch = jnp.take_along_axis(rows, jnp.clip(xi, 0, W - 1)[:, None, :],
+                                axis=2)               # [N, n+1, n+1] (y, x)
+    vy = ((yi >= 0) & (yi < H)).astype(patch.dtype)   # [N, n+1]
+    vx = ((xi >= 0) & (xi < W)).astype(patch.dtype)
+    pv = patch * vy[:, :, None] * vx[:, None, :]
+    fx = fx.astype(patch.dtype)
+    fy = fy.astype(patch.dtype)
+    win = ((1 - fx) * (1 - fy) * pv[:, :n, :n]
+           + fx * (1 - fy) * pv[:, :n, 1:]
+           + (1 - fx) * fy * pv[:, 1:, :n]
+           + fx * fy * pv[:, 1:, 1:])                 # [N, n(y), n(x)]
+    return win.transpose(0, 2, 1).reshape(N, n * n)   # x on slow axis
+
+
 def corr_lookup(pyramid, coords, radius: int):
     """coords [B, H1, W1, 2] (x, y) -> [B, H1, W1, levels*(2r+1)^2].
 
@@ -218,19 +280,25 @@ def corr_lookup(pyramid, coords, radius: int):
     varies over the SLOW window axis.
     """
     B, H1, W1, _ = coords.shape
-    r = radius
-    n = 2 * r + 1
-    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    ox = jnp.repeat(offs, n)   # slow axis -> x offset (reference ordering)
-    oy = jnp.tile(offs, n)     # fast axis -> y offset
-    cx = coords[..., 0].reshape(B * H1 * W1, 1)
-    cy = coords[..., 1].reshape(B * H1 * W1, 1)
+    cx = coords[..., 0].reshape(B * H1 * W1)
+    cy = coords[..., 1].reshape(B * H1 * W1)
     out = []
     for i, vol in enumerate(pyramid):
-        sx = cx / (2 ** i) + ox[None, :]
-        sy = cy / (2 ** i) + oy[None, :]
-        out.append(_bilinear_gather(vol, sx, sy))
+        if isinstance(vol, tuple):
+            vol = vol[0].reshape(vol[1])
+        out.append(_window_patch_lookup(vol, cx / (2 ** i), cy / (2 ** i),
+                                        radius))
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
+
+
+def flatten_pyramid(pyramid):
+    """Pre-flatten corr volumes to ([N*Hl*Wl], shape) pairs.
+
+    Must be called OUTSIDE any lookup loop: the flattening transpose of the
+    column-major einsum output then happens once instead of per iteration
+    (see _bilinear_gather).
+    """
+    return [(vol.reshape(-1), vol.shape) for vol in pyramid]
 
 
 # ---------------------------------------------------------------------------
