@@ -87,21 +87,26 @@ def encoder_forward(p, x, kind: str, precision=None):
 # ---------------------------------------------------------------------------
 
 def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
-    """fmaps [B, H, W, C] -> list of [B*H*W, Hl, Wl] volumes (scaled by 1/sqrt(C))."""
+    """fmaps [B, H, W, C] -> list of [B*H*W, Hl, Wl] volumes (scaled by 1/sqrt(C)).
+
+    The reference (corr.py:50-61) pools the [HW, HW] volume with avg_pool2d
+    per level; pooling is linear so it commutes with the feature dot product,
+    and each level is computed directly as fmap1 @ avgpool(fmap2) — four MXU
+    matmuls (1.33x the level-0 FLOPs) instead of GB-scale f32 reduce-windows
+    over the volume (~150 ms/call saved at 1080p x0.75 on v5e). The Python-
+    float scale keeps the volumes in the fmap dtype (bf16 in production): a
+    jnp.float32 scalar would promote the [HW, HW] volume to f32 and triple
+    its HBM footprint.
+    """
     B, H, W, C = fmap1.shape
-    corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(B, H * W, C),
-                      fmap2.reshape(B, H * W, C), precision=precision)
-    # Python-float scale keeps the volume in the fmap dtype (bf16 in
-    # production): a jnp.float32 scalar would promote the [B, HW, HW]
-    # volume to f32 and triple its HBM footprint.
-    corr = corr * (1.0 / math.sqrt(C))
-    corr = corr.reshape(B * H * W, H, W)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        N, h, w = corr.shape
-        corr = corr[:, : h - h % 2, : w - w % 2]
-        corr = corr.reshape(N, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-        pyramid.append(corr)
+    f1 = fmap1.reshape(B, H * W, C)
+    scale = 1.0 / math.sqrt(C)
+    pyramid = []
+    for f2 in build_fmap_pyramid(fmap2, num_levels):
+        h2, w2 = f2.shape[1], f2.shape[2]
+        corr = jnp.einsum("bxc,byc->bxy", f1, f2.reshape(B, h2 * w2, C),
+                          precision=precision) * scale
+        pyramid.append(corr.reshape(B * H * W, h2, w2))
     return pyramid
 
 
@@ -238,7 +243,9 @@ def _window_patch_lookup(vol, cx, cy, r: int):
     DMA-friendly), the second picks columns from the [N, 2r+2, W] row block.
     This replaces 4*(2r+1)^2 scattered single-element gathers per pixel with
     2r+2 row slices — the latency-bound random HBM access was what made the
-    naive formulation ~0.5 s/iteration at 1080p x0.75 on v5e.
+    naive formulation ~0.5 s/iteration at 1080p x0.75 on v5e. (A single
+    vmapped dynamic_slice per pixel was tried and is 5x SLOWER: XLA lowers
+    the {1, 2r+2, 2r+2} slice gather to scattered element loads.)
 
     Out-of-bounds taps are exact zeros (grid_sample zero-padding semantics,
     reference corr.py bilinear_sampler), enforced by separable validity masks.
@@ -269,7 +276,7 @@ def _window_patch_lookup(vol, cx, cy, r: int):
            + fx * (1 - fy) * pv[:, :n, 1:]
            + (1 - fx) * fy * pv[:, 1:, :n]
            + fx * fy * pv[:, 1:, 1:])                 # [N, n(y), n(x)]
-    return win.transpose(0, 2, 1).reshape(N, n * n)   # x on slow axis
+    return win.transpose(0, 2, 1).reshape(cx.shape[0], n * n)  # x slow axis
 
 
 def corr_lookup(pyramid, coords, radius: int):
@@ -284,21 +291,9 @@ def corr_lookup(pyramid, coords, radius: int):
     cy = coords[..., 1].reshape(B * H1 * W1)
     out = []
     for i, vol in enumerate(pyramid):
-        if isinstance(vol, tuple):
-            vol = vol[0].reshape(vol[1])
         out.append(_window_patch_lookup(vol, cx / (2 ** i), cy / (2 ** i),
                                         radius))
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
-
-
-def flatten_pyramid(pyramid):
-    """Pre-flatten corr volumes to ([N*Hl*Wl], shape) pairs.
-
-    Must be called OUTSIDE any lookup loop: the flattening transpose of the
-    column-major einsum output then happens once instead of per iteration
-    (see _bilinear_gather).
-    """
-    return [(vol.reshape(-1), vol.shape) for vol in pyramid]
 
 
 # ---------------------------------------------------------------------------
