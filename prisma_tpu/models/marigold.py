@@ -230,7 +230,9 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
     w2, h2 = max(8, w2 - w2 % 8), max(8, h2 - h2 % 8)
 
     rgb = jnp.asarray(frame_u8, jnp.float32)[None] / 255.0
-    rgb = resize2d(rgb, (h2, w2), method="linear").astype(compute_dtype)
+    # reference resize_max_res uses PIL Image.resize default = antialiased
+    # bicubic (marigold/util/image_util.py:98)
+    rgb = resize2d(rgb, (h2, w2), method="cubic_aa").astype(compute_dtype)
     rgb = jnp.broadcast_to(rgb, (ensemble_size,) + rgb.shape[1:])
 
     run = jax.jit(functools.partial(single_infer, num_steps=denoising_steps,
@@ -244,8 +246,10 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
         depth = preds[0]
     mn, mx = depth.min(), depth.max()
     depth = (depth - mn) / (mx - mn)
+    # pred_img.resize(input_size) default = PIL antialiased bicubic
+    # (marigold_pipeline.py:230)
     depth = np.asarray(resize2d(jnp.asarray(depth)[None, :, :, None], (H, W),
-                                method="linear"))[0, :, :, 0]
+                                method="cubic_aa"))[0, :, :, 0]
     return mn + depth * (mx - mn)
 
 

@@ -263,20 +263,27 @@ def _window_patch_lookup(vol, cx, cy, r: int):
     ks = jnp.arange(n + 1, dtype=jnp.int32)
     yi = yb[:, None] + ks[None, :]                    # [N, n+1]
     xi = xb[:, None] + ks[None, :]                    # [N, n+1]
+    # (A single (1, n+1, W) block-row gather from an H-padded volume — one
+    # descriptor per pixel — was tried and reproducibly faults the v5e
+    # runtime; per-row slices below are the fastest working formulation.)
     rows = jnp.take_along_axis(vol, jnp.clip(yi, 0, H - 1)[:, :, None],
                                axis=1)                # [N, n+1, W]
-    patch = jnp.take_along_axis(rows, jnp.clip(xi, 0, W - 1)[:, None, :],
-                                axis=2)               # [N, n+1, n+1] (y, x)
+    # Pick the x-window from the transposed row block so this gather also
+    # reads whole minor-dim slices (one descriptor per (n, x) instead of a
+    # latency-bound per-element pick along the strided W axis).
+    rows_t = rows.transpose(0, 2, 1)                  # [N, W, n+1(y)]
+    patch = jnp.take_along_axis(rows_t, jnp.clip(xi, 0, W - 1)[:, :, None],
+                                axis=1)               # [N, n+1(x), n+1(y)]
     vy = ((yi >= 0) & (yi < H)).astype(patch.dtype)   # [N, n+1]
     vx = ((xi >= 0) & (xi < W)).astype(patch.dtype)
-    pv = patch * vy[:, :, None] * vx[:, None, :]
+    pv = patch * vx[:, :, None] * vy[:, None, :]
     fx = fx.astype(patch.dtype)
     fy = fy.astype(patch.dtype)
     win = ((1 - fx) * (1 - fy) * pv[:, :n, :n]
-           + fx * (1 - fy) * pv[:, :n, 1:]
-           + (1 - fx) * fy * pv[:, 1:, :n]
-           + fx * fy * pv[:, 1:, 1:])                 # [N, n(y), n(x)]
-    return win.transpose(0, 2, 1).reshape(cx.shape[0], n * n)  # x slow axis
+           + fx * (1 - fy) * pv[:, 1:, :n]
+           + (1 - fx) * fy * pv[:, :n, 1:]
+           + fx * fy * pv[:, 1:, 1:])                 # [N, n(x), n(y)]
+    return win.reshape(cx.shape[0], n * n)            # x already slow axis
 
 
 def corr_lookup(pyramid, coords, radius: int):

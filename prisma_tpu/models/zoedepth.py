@@ -222,10 +222,9 @@ def metric_depth_anything_infer(params, frames_u8, encoder: str = "vitl",
     depth = bins_head(params["head"], rel_depth.astype(jnp.float32),
                       {k: v.astype(jnp.float32) for k, v in core_feats.items()},
                       cfg, precision)
-    # driver resizes back with PIL bicubic (depth_anything.py:117-119); our
-    # cubic kernel is a=-0.75 vs PIL's antialiased a=-0.5 — close on smooth
-    # depth maps (exact PIL-style resampler is a tracked refinement)
-    return resize2d(depth[..., None], (H, W), method="cubic")[..., 0]
+    # driver resizes back with PIL default resample = antialiased bicubic
+    # (depth_anything.py:117-119)
+    return resize2d(depth[..., None], (H, W), method="cubic_aa")[..., 0]
 
 
 def init_head_params(rng, core_channels: int = 256,

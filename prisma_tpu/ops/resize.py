@@ -38,7 +38,8 @@ def _resize_weights(in_size: int, out_size: int, method: str,
                     align_corners: bool, scale: float | None) -> np.ndarray:
     """[out, in] float32 resampling matrix.
 
-    method: 'linear' | 'cubic' | 'area' | 'nearest'.
+    method: 'linear' | 'cubic' | 'area' | 'nearest' | 'linear_aa' | 'cubic_aa'
+    (the _aa forms are PIL / torch antialias=True resampling).
     scale: explicit scale factor (torch interpolate(scale_factor=...) semantics,
     where the coordinate map uses the given factor, not out/in). None -> out/in.
     """
@@ -50,6 +51,26 @@ def _resize_weights(in_size: int, out_size: int, method: str,
     if method == "nearest":
         src = np.floor(out_idx * (in_size / out_size)).astype(int)
         W[np.arange(out_size), np.clip(src, 0, in_size - 1)] = 1.0
+        return W.astype(np.float32)
+
+    if method in ("linear_aa", "cubic_aa"):
+        # PIL.Image.resize / torch interpolate(antialias=True) semantics
+        # (PIL Resample.c ImagingResampleHorizontal_8): kernel stretched by
+        # the downscale factor, taps windowed (not edge-clamped) and each
+        # row normalized. Bicubic uses PIL's a=-0.5, not torch/cv2's -0.75.
+        if method == "linear_aa":
+            support, kern = 1.0, lambda t: np.maximum(0.0, 1.0 - np.abs(t))
+        else:
+            support, kern = 2.0, lambda t: _cubic_kernel(t, a=-0.5)
+        ratio = in_size / out_size if scale is None else 1.0 / scale
+        fscale = max(ratio, 1.0)
+        radius = support * fscale
+        for o in range(out_size):
+            center = (o + 0.5) * ratio
+            i0 = max(int(center - radius + 0.5), 0)
+            i1 = min(int(center + radius + 0.5), in_size)
+            taps = kern((np.arange(i0, i1) - center + 0.5) / fscale)
+            W[o, i0:i1] = taps / taps.sum()
         return W.astype(np.float32)
 
     if method == "area":

@@ -66,3 +66,30 @@ def test_dpt_input_size():
     # smaller than target upscales
     w2, h2 = dpt_input_size(100, 200)
     assert min(w2, h2) >= 518
+
+
+@pytest.mark.parametrize("mode,name", [("bilinear", "linear_aa"),
+                                       ("bicubic", "cubic_aa")])
+def test_torch_antialias_parity(mode, name):
+    """PIL-style antialiased resize (torch interpolate antialias=True)."""
+    import torch
+    import torch.nn.functional as F
+    x = RNG.uniform(0, 1, size=(1, 24, 36, 3)).astype(np.float32)
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    for oh, ow in [(11, 17), (7, 9), (48, 72), (24, 36)]:
+        theirs = F.interpolate(t, (oh, ow), mode=mode, antialias=True)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        ours = np.asarray(resize2d(x, (oh, ow), method=name))
+        np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+
+def test_pil_antialias_parity():
+    from PIL import Image
+    x = RNG.uniform(0, 255, size=(32, 48)).astype(np.float32)
+    img = Image.fromarray(x, mode="F")
+    for oh, ow, meth, name in [(13, 19, Image.BILINEAR, "linear_aa"),
+                               (13, 19, Image.BICUBIC, "cubic_aa"),
+                               (64, 96, Image.BILINEAR, "linear_aa")]:
+        theirs = np.asarray(img.resize((ow, oh), meth))
+        ours = np.asarray(resize2d(x[..., None], (oh, ow), method=name))[..., 0]
+        np.testing.assert_allclose(ours, theirs, atol=2e-3)
