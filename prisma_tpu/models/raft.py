@@ -29,6 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _relu(x):
+    """jnp.maximum form: jax.nn.relu is a custom_jvp closed_call, and JAX
+    0.9's lowering cache KeyErrors on closed_calls when a pallas_call sits
+    in the same jaxpr (hit via corr_impl='volume_pallas')."""
+    return jnp.maximum(x, 0)
+
 from prisma_tpu.ops import nn as pnn
 from prisma_tpu.ops.resize import resize2d
 
@@ -63,20 +70,20 @@ def _apply_norm(p, x, kind: str):
 
 
 def _resblock(p, x, kind: str, stride: int, precision=None):
-    y = jax.nn.relu(_apply_norm(p.get("norm1"), pnn.conv2d(p["conv1"], x,
+    y = _relu(_apply_norm(p.get("norm1"), pnn.conv2d(p["conv1"], x,
                     stride=stride, padding=1, precision=precision), kind))
-    y = jax.nn.relu(_apply_norm(p.get("norm2"), pnn.conv2d(p["conv2"], y,
+    y = _relu(_apply_norm(p.get("norm2"), pnn.conv2d(p["conv2"], y,
                     padding=1, precision=precision), kind))
     if stride != 1:
         x = _apply_norm(p.get("norm3"), pnn.conv2d(p["down"], x, stride=stride,
                         precision=precision), kind)
-    return jax.nn.relu(x + y)
+    return _relu(x + y)
 
 
 def encoder_forward(p, x, kind: str, precision=None):
     """BasicEncoder: x [B, H, W, 3] in [-1, 1] -> [B, H/8, W/8, out]."""
     x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
-    x = jax.nn.relu(_apply_norm(p.get("norm1"), x, kind))
+    x = _relu(_apply_norm(p.get("norm1"), x, kind))
     for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
         x = _resblock(p["blocks"][i], x, kind, stride, precision)
     return pnn.conv2d(p["conv2"], x, precision=precision)
@@ -138,7 +145,8 @@ def _bilinear_gather(vol, x, y):
 
     def corner(xi, yi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        idx = (base + jnp.minimum(jnp.maximum(yi, 0), H - 1) * W
+               + jnp.minimum(jnp.maximum(xi, 0), W - 1))
         vals = flat[idx]
         return vals * w * valid
 
@@ -180,7 +188,8 @@ def _bilinear_gather_feat(fmap, x, y):
 
     def corner(xi, yi, wgt):
         valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))[..., None]
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        idx = (jnp.minimum(jnp.maximum(yi, 0), H - 1) * W
+               + jnp.minimum(jnp.maximum(xi, 0), W - 1))
         vals = jnp.take_along_axis(flat, idx.astype(jnp.int32)[..., None],
                                    axis=1)
         return vals * wgt * valid
@@ -266,14 +275,14 @@ def _window_patch_lookup(vol, cx, cy, r: int):
     # (A single (1, n+1, W) block-row gather from an H-padded volume — one
     # descriptor per pixel — was tried and reproducibly faults the v5e
     # runtime; per-row slices below are the fastest working formulation.)
-    rows = jnp.take_along_axis(vol, jnp.clip(yi, 0, H - 1)[:, :, None],
-                               axis=1)                # [N, n+1, W]
+    rows = jnp.take_along_axis(
+        vol, jnp.minimum(jnp.maximum(yi, 0), H - 1)[:, :, None], axis=1)                # [N, n+1, W]
     # Pick the x-window from the transposed row block so this gather also
     # reads whole minor-dim slices (one descriptor per (n, x) instead of a
     # latency-bound per-element pick along the strided W axis).
     rows_t = rows.transpose(0, 2, 1)                  # [N, W, n+1(y)]
-    patch = jnp.take_along_axis(rows_t, jnp.clip(xi, 0, W - 1)[:, :, None],
-                                axis=1)               # [N, n+1(x), n+1(y)]
+    patch = jnp.take_along_axis(
+        rows_t, jnp.minimum(jnp.maximum(xi, 0), W - 1)[:, :, None], axis=1)               # [N, n+1(x), n+1(y)]
     vy = ((yi >= 0) & (yi < H)).astype(patch.dtype)   # [N, n+1]
     vx = ((xi >= 0) & (xi < W)).astype(patch.dtype)
     pv = patch * vx[:, :, None] * vy[:, None, :]
@@ -284,6 +293,22 @@ def _window_patch_lookup(vol, cx, cy, r: int):
            + (1 - fx) * fy * pv[:, :n, 1:]
            + fx * fy * pv[:, 1:, 1:])                 # [N, n(x), n(y)]
     return win.reshape(cx.shape[0], n * n)            # x already slow axis
+
+
+def corr_lookup_pallas(pyramid, coords, radius: int):
+    """corr_lookup via the Pallas one-DMA-per-patch kernel.
+
+    pyramid: (padded_vol [N, Hl+2p, Wl+2p], (Hl, Wl)) pairs, p = 2r+2.
+    """
+    from prisma_tpu.ops.pallas.raft_lookup import window_lookup
+    B, H1, W1, _ = coords.shape
+    cx = coords[..., 0].reshape(B * H1 * W1)
+    cy = coords[..., 1].reshape(B * H1 * W1)
+    interp = jax.default_backend() == "cpu"
+    out = [window_lookup(vol, cx / (2 ** i), cy / (2 ** i), hw, r=radius,
+                         interpret=interp)
+           for i, (vol, hw) in enumerate(pyramid)]
+    return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 
 
 def corr_lookup(pyramid, coords, radius: int):
@@ -308,11 +333,11 @@ def corr_lookup(pyramid, coords, radius: int):
 # ---------------------------------------------------------------------------
 
 def _motion_encoder(p, flow, corr, precision=None):
-    cor = jax.nn.relu(pnn.conv2d(p["convc1"], corr, precision=precision))
-    cor = jax.nn.relu(pnn.conv2d(p["convc2"], cor, padding=1, precision=precision))
-    flo = jax.nn.relu(pnn.conv2d(p["convf1"], flow, padding=3, precision=precision))
-    flo = jax.nn.relu(pnn.conv2d(p["convf2"], flo, padding=1, precision=precision))
-    out = jax.nn.relu(pnn.conv2d(p["conv"], jnp.concatenate([cor, flo], -1),
+    cor = _relu(pnn.conv2d(p["convc1"], corr, precision=precision))
+    cor = _relu(pnn.conv2d(p["convc2"], cor, padding=1, precision=precision))
+    flo = _relu(pnn.conv2d(p["convf1"], flow, padding=3, precision=precision))
+    flo = _relu(pnn.conv2d(p["convf2"], flo, padding=1, precision=precision))
+    out = _relu(pnn.conv2d(p["conv"], jnp.concatenate([cor, flo], -1),
                                  padding=1, precision=precision))
     return jnp.concatenate([out, flow], axis=-1)
 
@@ -341,12 +366,12 @@ def _sep_conv_gru(p, h, x, precision=None):
 
 
 def _flow_head(p, x, precision=None):
-    y = jax.nn.relu(pnn.conv2d(p["conv1"], x, padding=1, precision=precision))
+    y = _relu(pnn.conv2d(p["conv1"], x, padding=1, precision=precision))
     return pnn.conv2d(p["conv2"], y, padding=1, precision=precision)
 
 
 def _mask_head(p, net, precision=None):
-    y = jax.nn.relu(pnn.conv2d(p["conv1"], net, padding=1, precision=precision))
+    y = _relu(pnn.conv2d(p["conv1"], net, padding=1, precision=precision))
     return 0.25 * pnn.conv2d(p["conv2"], y, precision=precision)
 
 
@@ -358,7 +383,9 @@ def convex_upsample(flow, mask):
     """
     B, H, W, _ = flow.shape
     m = mask.reshape(B, H, W, 9, 8, 8)
-    m = jax.nn.softmax(m, axis=3)
+    # manual softmax: jax.nn.softmax is a custom_jvp closed_call (see _relu)
+    m = jnp.exp(m - m.max(axis=3, keepdims=True))
+    m = m / m.sum(axis=3, keepdims=True)
     fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     neighbors = jnp.stack([fp[:, ky:ky + H, kx:kx + W] for ky in range(3)
                            for kx in range(3)], axis=3)  # [B, H, W, 9, 2]
@@ -394,12 +421,19 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     fmap1, fmap2 = fmaps[:B], fmaps[B:]
     if corr_impl == "fused":
         f2_pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+    elif corr_impl == "volume_pallas":
+        p = 2 * cfg.corr_radius + 2
+        # zero-pad once, OUTSIDE the scan: each in-loop window fetch is then
+        # a single in-range 2D-strided DMA (see ops/pallas/raft_lookup.py)
+        pyramid = [(jnp.pad(v, ((0, 0), (p, p), (p, p))), v.shape[1:])
+                   for v in build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                               precision)]
     else:
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
 
     cnet = encoder_forward(params["cnet"], img1, "affine", precision)
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
-    inp = jax.nn.relu(cnet[..., cfg.hidden_dim:])
+    inp = _relu(cnet[..., cfg.hidden_dim:])
 
     H8, W8 = fmap1.shape[1], fmap1.shape[2]
     gx, gy = jnp.meshgrid(jnp.arange(W8, dtype=jnp.float32),
@@ -412,6 +446,8 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
         if corr_impl == "fused":
             corr = corr_lookup_fused(fmap1, f2_pyramid, coords1.astype(jnp.float32),
                                      cfg.corr_radius, precision)
+        elif corr_impl == "volume_pallas":
+            corr = corr_lookup_pallas(pyramid, coords1, cfg.corr_radius)
         else:
             corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
         flow = coords1 - coords0

@@ -1,0 +1,41 @@
+"""Interpret-mode parity of the Pallas window-lookup kernel vs the XLA path.
+
+The kernel is TPU-blocked by Mosaic DMA alignment (see
+ops/pallas/raft_lookup.py STATUS); these tests keep its semantics pinned so
+it is ready when the alignment restriction lifts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prisma_tpu.models.raft import _window_patch_lookup
+from prisma_tpu.models import raft as jraft
+from prisma_tpu.ops.pallas.raft_lookup import window_lookup
+
+
+def test_window_lookup_matches_xla():
+    rng = np.random.default_rng(0)
+    N, H, W, r = 500, 13, 21, 4
+    p = 2 * r + 2
+    vol = rng.normal(0, 1, (N, H, W)).astype(np.float32)
+    cx = rng.uniform(-8, W + 8, N).astype(np.float32)   # incl. out-of-bounds
+    cy = rng.uniform(-8, H + 8, N).astype(np.float32)
+    ref = np.asarray(_window_patch_lookup(
+        jnp.asarray(vol), jnp.asarray(cx), jnp.asarray(cy), r))
+    pv = jnp.pad(jnp.asarray(vol), ((0, 0), (p, p), (p, p)))
+    got = np.asarray(window_lookup(pv, jnp.asarray(cx), jnp.asarray(cy),
+                                   (H, W), r=r, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-6)
+
+
+def test_forward_volume_pallas_matches_volume():
+    params = jraft.init_params(jax.random.key(1))
+    rng = np.random.default_rng(0)
+    i1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    a = jraft.forward(params, i1, i2, iters=3, precision="highest",
+                      corr_impl="volume")[1]
+    b = jraft.forward(params, i1, i2, iters=3, precision="highest",
+                      corr_impl="volume_pallas")[1]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
