@@ -114,11 +114,11 @@ def add_position(feature0, feature1, attn_splits: int):
     B, H, W, C = feature0.shape
     if attn_splits > 1:
         pos = jnp.asarray(sine_pos_embed(H // attn_splits, W // attn_splits,
-                                         C // 2))
+                                         C // 2), feature0.dtype)
         f0 = _merge_windows(_split_windows(feature0, attn_splits) + pos, attn_splits)
         f1 = _merge_windows(_split_windows(feature1, attn_splits) + pos, attn_splits)
         return f0, f1
-    pos = jnp.asarray(sine_pos_embed(H, W, C // 2))
+    pos = jnp.asarray(sine_pos_embed(H, W, C // 2), feature0.dtype)
     return feature0 + pos, feature1 + pos
 
 
@@ -265,8 +265,10 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
 
     Returns flow [B or 2B, H, W, 2] (fwd rows first, then bwd when bidir).
     """
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
+    # keep normalization in the input dtype: f32 constants would promote a
+    # bf16 batch to f32 and crash the first conv (weights stay bf16)
+    mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
+    std = jnp.asarray(IMAGENET_STD, img0.dtype)
     n0 = (img0 / 255.0 - mean) / std
     n1 = (img1 / 255.0 - mean) / std
 
@@ -283,7 +285,8 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
         else feature0
     flow = flow_propagation(params["flow_attn"], prop_feat, flow, precision)
 
-    concat = jnp.concatenate([flow, prop_feat], axis=-1)
+    concat = jnp.concatenate([flow.astype(prop_feat.dtype), prop_feat],
+                             axis=-1)
     y = jax.nn.relu(pnn.conv2d(params["upsampler"]["conv1"], concat, padding=1,
                                precision=precision))
     mask = pnn.conv2d(params["upsampler"]["conv2"], y, precision=precision)
