@@ -32,18 +32,132 @@ VideoStep = Callable[[np.ndarray], dict]
 ImageInfer = Callable[[np.ndarray], np.ndarray]
 
 
+def make_step(params, infer: Callable, flip: bool, need_depth: bool,
+              dtype=None, fused: bool = True) -> VideoStep:
+    """Build the shared depth video step: infer + the fused normalize/flip/
+    heatmap epilogue (reference write_depth semantics, bands/common/io.py).
+
+    fused=True jits infer+epilogue as ONE XLA program with params replicated
+    over the data mesh and the frame batch sharded along it (single-forward
+    models: depth_anything, midas, zoed). fused=False keeps infer as-is —
+    tile/ensemble drivers (patchfusion, marigold) loop on host and shard at
+    the tile/member level — and jits only the epilogue.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from prisma_tpu.ops import encode as enc
+
+    if dtype is not None:
+        from prisma_tpu.weights.store import cast_params
+        params = cast_params(params, dtype)
+
+    def epilogue(depth):
+        dmin = jnp.min(depth, axis=(1, 2))
+        dmax = jnp.max(depth, axis=(1, 2))
+        norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]
+        if flip:
+            norm = 1.0 - norm
+        heat = jnp.floor(enc.heat_to_rgb(norm) * 255.0).astype(jnp.uint8)
+        out = {"heat": heat, "min": dmin, "max": dmax}
+        if need_depth:
+            out["depth"] = depth
+        return out
+
+    if not fused:
+        from prisma_tpu.parallel import data_mesh_or_none, shard_params
+        mesh = data_mesh_or_none()
+        params = shard_params(params, mesh) if mesh is not None \
+            else jax.device_put(params)
+        jep = jax.jit(epilogue)
+        return lambda frames: jep(infer(params, frames))
+
+    # multi-chip: replicate params, shard the frame batch over the data mesh
+    # (XLA inserts the ICI collectives for the per-frame min/max reductions)
+    shard_batch = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from prisma_tpu.parallel import batch_sharding, get_mesh, replicate
+        mesh = get_mesh()
+        params = jax.device_put(params, replicate(mesh))
+        sharding = batch_sharding(mesh)
+
+        def shard_batch(f):
+            f = jnp.asarray(f)
+            # shard only batches the mesh divides evenly; smaller/ragged
+            # batches run replicated (single-program)
+            if f.shape[0] % n_dev == 0:
+                return jax.device_put(f, sharding)
+            return f
+    else:
+        params = jax.device_put(params)
+
+    @jax.jit
+    def step(params, frames):
+        return epilogue(infer(params, frames))
+
+    if shard_batch is not None:
+        return lambda frames: step(params, shard_batch(frames))
+    return lambda frames: step(params, frames)
+
+
+def _resume_state(output: str, segment_frames: int):
+    """-> (start_frame, mins, maxs, ledger_file) for frame-index resume.
+
+    The resume index is the contiguous run of complete mp4 segments from a
+    previous interrupted run; per-frame min/max come back from the ledger CSV
+    kept next to the segments. A ledger shorter than the segments (lost
+    buffered lines) restarts from scratch — correctness over savings.
+    """
+    import shutil
+
+    from prisma_tpu.io.video import SegmentedVideoWriter
+
+    seg_dir = output + ".segments"
+    ledger_path = os.path.join(seg_dir, "values.csv")
+    start = SegmentedVideoWriter.completed_frames(output, segment_frames)
+    mins: list[float] = []
+    maxs: list[float] = []
+    if start:
+        rows = []
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                rows = [line.split(",") for line in f.read().splitlines()
+                        if line]
+        if len(rows) < start:
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            start = 0
+        else:
+            mins = [float(r[0]) for r in rows[:start]]
+            maxs = [float(r[1]) for r in rows[:start]]
+    os.makedirs(seg_dir, exist_ok=True)
+    # truncate the ledger to the resume point, then append
+    with open(ledger_path, "w") as f:
+        for mn, mx in zip(mins, maxs):
+            f.write(f"{mn!r},{mx!r}\n")
+    return start, mins, maxs, open(ledger_path, "a")
+
+
 def run_video(io: BandIO, step: VideoStep, flip: bool,
               npy: bool = False) -> None:
     from prisma_tpu.runtime.profiling import StageProfiler
     prof = StageProfiler()
     reader = VideoReader(io.input)
-    writer = VideoWriter(reader.width, reader.height, reader.fps,
-                         filename=io.output)
+    seg = getattr(io.runtime, "segment_frames", 0)
+    if seg:
+        from prisma_tpu.io.video import SegmentedVideoWriter
+        start, mins, maxs, ledger = _resume_state(io.output, seg)
+        writer = SegmentedVideoWriter(reader.width, reader.height, reader.fps,
+                                      filename=io.output, segment_frames=seg,
+                                      start_frame=start)
+        reader.skip(start)
+    else:
+        writer = VideoWriter(reader.width, reader.height, reader.fps,
+                             filename=io.output)
+        start, mins, maxs, ledger = 0, [], [], None
     need_depth = bool(io.subpath) or npy
 
-    mins: list[float] = []
-    maxs: list[float] = []
-    idx = 0
+    idx = start
     batch_size = io.runtime.batch_size
     prof.start_device_trace()
     for frames, valid in reader.batches(batch_size, pad_to_full=True):
@@ -54,9 +168,16 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
         bmax = np.asarray(out["max"])
         depth = np.asarray(out["depth"]) if need_depth else None
         for b in range(valid):
-            writer.write(heat[b])
             mins.append(float(bmin[b]))
             maxs.append(float(bmax[b]))
+            if ledger is not None:
+                # ledger rows hit disk BEFORE the segment-closing write below,
+                # so a complete segment always has its values on resume
+                ledger.write(f"{mins[-1]!r},{maxs[-1]!r}\n")
+                if (idx + 1) % seg == 0:
+                    ledger.flush()
+                    os.fsync(ledger.fileno())
+            writer.write(heat[b])
             if depth is not None:
                 if npy and io.subpath:
                     np.save(os.path.join(io.subpath, f"{idx:05d}.npy"), depth[b])
@@ -65,10 +186,12 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
                                 depth[b], normalize=True, flip=flip,
                                 heatmap=True, encode_range=True)
             idx += 1
+    if ledger is not None:
+        ledger.close()
     writer.close()
     reader.close()
     prof.stop_device_trace()
-    prof.report(items=idx)
+    prof.report(items=idx - start)
 
     write_csv(os.path.join(io.output_folder, io.band + "_min.csv"), mins)
     write_csv(os.path.join(io.output_folder, io.band + "_max.csv"), maxs)

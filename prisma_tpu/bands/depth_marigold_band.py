@@ -15,7 +15,6 @@ import numpy as np
 from prisma_tpu.bands import depth_base
 from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.models import marigold as jmar
-from prisma_tpu.models import sd2
 from prisma_tpu.runtime.config import RuntimeConfig
 from prisma_tpu.weights.store import load_marigold
 
@@ -52,19 +51,9 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
-
-        def step(frames):
-            depth = infer(params, frames)
-            dmin = jnp.min(depth, axis=(1, 2))
-            dmax = jnp.max(depth, axis=(1, 2))
-            norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]
-            from prisma_tpu.ops import encode as enc
-            heat = jnp.floor(enc.heat_to_rgb(norm) * 255.0).astype(jnp.uint8)
-            out = {"heat": heat, "min": dmin, "max": dmax}
-            if need_depth:
-                out["depth"] = depth
-            return out
-
+        step = depth_base.make_step(
+            params, lambda p, frames: infer(p, frames), flip, need_depth,
+            fused=False)
         depth_base.run_video(io, step, flip=flip, npy=npy)
     else:
         depth_base.run_image(io, lambda f: infer(params, f), flip=flip,

@@ -1,9 +1,10 @@
-"""depth_midas band driver: MiDaS DPT-Large on TPU.
+"""depth_midas band driver: MiDaS on TPU (all four reference model_versions).
 
-Reference: `bands/depth_midas.py` — hub default_transform prep, bicubic
-align_corners=True resize-back, flip=True heatmap write (disparity).
-model_version midas3 (DPT_Large) is the supported path; midas2 variants are
-gated until a v2 checkpoint converter lands.
+Reference: `bands/depth_midas.py:26-64` — midas2/midas2-small load MidasNet
+v2.1, midas3/midas3-small load DPT_Large; -small variants use the hub
+small_transform (256 target) instead of default_transform (384). All apply
+ImageNet-normalized upper-bound /32 resize, bicubic align_corners=True
+resize-back, and flip=True heatmap write (disparity).
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ import jax
 
 from prisma_tpu.bands import depth_base
 from prisma_tpu.bands.base import BandIO, resolve
-from prisma_tpu.bands.depth_anything_band import _make_step
+
 from prisma_tpu.models import midas as jmidas
 from prisma_tpu.runtime.config import RuntimeConfig
 from prisma_tpu.weights.store import load_midas
@@ -28,16 +29,18 @@ def run(input_path: str, output: str = "", subpath: str = "",
     runtime = runtime or RuntimeConfig()
     io = resolve(BAND, input_path, output=output, subpath=subpath,
                  force_extension="png", runtime=runtime)
-    params = load_midas(runtime, model_version)
+    arch, params = load_midas(runtime, model_version)
     dtype = runtime.resolve_dtype()
     import os
-    target = int(os.environ.get("PRISMA_MIDAS_TARGET", "384"))
-    infer = functools.partial(jmidas.infer, compute_dtype=dtype, target=target)
+    default_target = 256 if model_version.endswith("-small") else 384
+    target = int(os.environ.get("PRISMA_MIDAS_TARGET", str(default_target)))
+    infer_fn = jmidas.infer_v2 if arch == "v2" else jmidas.infer
+    infer = functools.partial(infer_fn, compute_dtype=dtype, target=target)
     flip = True  # disparity: near is 1 after flip (depth_midas.py:106,147)
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
-        step = _make_step(params, infer, flip, need_depth)
+        step = depth_base.make_step(params, infer, flip, need_depth)
         depth_base.run_video(io, step, flip=flip, npy=npy)
     else:
         params_dev = jax.device_put(params)

@@ -8,7 +8,6 @@ output (flip=False), same CSV/subpath/npy/ply contract as other depth bands.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -46,20 +45,8 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
-        step_infer = lambda frames: infer(params, frames)
-
-        def step(frames):
-            depth = step_infer(frames)
-            dmin = jnp.min(depth, axis=(1, 2))
-            dmax = jnp.max(depth, axis=(1, 2))
-            norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]
-            from prisma_tpu.ops import encode as enc
-            heat = jnp.floor(enc.heat_to_rgb(norm) * 255.0).astype(jnp.uint8)
-            out = {"heat": heat, "min": dmin, "max": dmax}
-            if need_depth:
-                out["depth"] = depth
-            return out
-
+        step = depth_base.make_step(params, infer, flip, need_depth,
+                                    fused=False)
         depth_base.run_video(io, step, flip=flip, npy=npy)
     else:
         depth_base.run_image(io, lambda f: infer(params, f), flip=flip,

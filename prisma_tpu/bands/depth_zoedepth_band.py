@@ -12,7 +12,7 @@ import jax
 
 from prisma_tpu.bands import depth_base
 from prisma_tpu.bands.base import BandIO, resolve
-from prisma_tpu.bands.depth_anything_band import _make_step
+
 from prisma_tpu.models import zoed as jzoed
 from prisma_tpu.runtime.config import RuntimeConfig
 from prisma_tpu.weights.store import load_zoed
@@ -33,7 +33,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
-        step = _make_step(params, infer, flip, need_depth)
+        step = depth_base.make_step(params, infer, flip, need_depth)
         depth_base.run_video(io, step, flip=flip, npy=npy)
     else:
         params_dev = jax.device_put(params)

@@ -30,8 +30,22 @@ from prisma_tpu.runtime.config import RuntimeConfig
 def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
                    need_flow: bool):
     """Wrap a model's infer_pairs into the fused band step (resize + HSV +
-    consistency epilogues)."""
+    consistency epilogues).
+
+    Multi-chip: params replicate and the frame window shards over the data
+    mesh when it divides evenly; the consecutive-pair construction
+    (ds[:-1], ds[1:]) becomes a halo exchange XLA lowers to a ppermute.
+    """
     dh, dw = ds_hw
+    from prisma_tpu.parallel import batch_sharding, data_mesh_or_none, \
+        shard_params
+    mesh = data_mesh_or_none()
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        sharding = batch_sharding(mesh)
+        n_dev = mesh.devices.size
+    else:
+        params = jax.device_put(params)
 
     @jax.jit
     def step(params, frames_u8):
@@ -54,7 +68,14 @@ def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
             out["bwd_mask"] = bm
         return out
 
-    return lambda frames: step(params, frames)
+    def call(frames):
+        if mesh is not None:
+            f = jnp.asarray(frames)
+            if f.shape[0] % n_dev == 0:
+                frames = jax.device_put(f, sharding)
+        return step(params, frames)
+
+    return call
 
 
 def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
@@ -74,7 +95,6 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
         if backwards:
             os.makedirs(flo_dir + "_bwd", exist_ok=True)
 
-    params = jax.device_put(params)
     reader = VideoReader(io.input)
     W, H, fps = reader.width, reader.height, reader.fps
     dh, dw = int(round(H * scale)), int(round(W * scale))

@@ -133,16 +133,28 @@ def resize_max_res_size(w: int, h: int, max_edge: int = 768):
     return int(w * scale), int(h * scale)
 
 
-def single_infer(params, rgb01, rng, num_steps: int = 10,
+def single_infer(params, rgb01, rng=None, num_steps: int = 10,
                  unet_cfg: sd2.UNetConfig = sd2.UNetConfig(),
-                 ddim_cfg: DDIMConfig = DDIMConfig(), precision=None):
+                 ddim_cfg: DDIMConfig = DDIMConfig(), precision=None,
+                 depth_latent=None):
     """rgb01 [B, H, W, 3] in [0,1] (H, W multiples of 8) -> depth [B, H, W] in [0,1].
 
     One jitted lax.scan over the DDIM steps; B is the ensemble batch.
+    depth_latent [B, H/8, W/8, 4] may be pre-generated (so member values do
+    not depend on mesh padding); otherwise it is drawn from rng.
     """
     rgb_latent = sd2.vae_encode(params["vae"], rgb01,
                                 precision=precision) * RGB_LATENT_SCALE
-    depth_latent = jax.random.normal(rng, rgb_latent.shape, rgb_latent.dtype)
+    if depth_latent is None:
+        # per-member fold_in keys: member i draws the same latent whether or
+        # not the batch was padded/sharded over a mesh
+        B = rgb_latent.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(B))
+        depth_latent = jax.vmap(
+            lambda k: jax.random.normal(k, rgb_latent.shape[1:], jnp.float32)
+        )(keys).astype(rgb_latent.dtype)
+    else:
+        depth_latent = depth_latent.astype(rgb_latent.dtype)
     context = jnp.broadcast_to(params["empty_text_embed"],
                                (rgb_latent.shape[0],)
                                + params["empty_text_embed"].shape[1:])
@@ -212,13 +224,28 @@ def ensemble_depths(depth_preds: np.ndarray, regularizer_strength: float = 0.02,
     return aligned, mad
 
 
+@functools.lru_cache(maxsize=None)
+def _infer_fn(num_steps, unet_cfg, precision):
+    """Jitted DDIM-scan pipeline, cached by static config so video drivers do
+    not re-trace per frame."""
+    return jax.jit(functools.partial(single_infer, num_steps=num_steps,
+                                     unet_cfg=unet_cfg, precision=precision))
+
+
 def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
           ensemble_size: int = 10, processing_res: int = 768, seed: int = 0,
           unet_cfg: sd2.UNetConfig = sd2.UNetConfig(),
           precision=None, compute_dtype=jnp.float32) -> np.ndarray:
     """Full pipeline on one frame [H, W, 3] uint8 -> depth [H, W] (relative,
-    the pipeline's min..max-rescaled output)."""
+    the pipeline's min..max-rescaled output).
+
+    On a multi-chip mesh the ensemble members are edge-padded to the mesh
+    size and sharded over the `data` axis (SURVEY.md §2.10: ensemble members
+    across chips). Member latents are pre-generated at the true ensemble size
+    so results are identical at any device count.
+    """
     from prisma_tpu.ops.resize import resize2d
+    from prisma_tpu.parallel import data_mesh_or_none, shard_batch_padded
 
     H, W = frame_u8.shape[:2]
     if processing_res > 0:
@@ -235,10 +262,13 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
     rgb = resize2d(rgb, (h2, w2), method="cubic_aa").astype(compute_dtype)
     rgb = jnp.broadcast_to(rgb, (ensemble_size,) + rgb.shape[1:])
 
-    run = jax.jit(functools.partial(single_infer, num_steps=denoising_steps,
-                                    unet_cfg=unet_cfg, precision=precision))
+    mesh = data_mesh_or_none()
+    if mesh is not None:
+        rgb, _ = shard_batch_padded(rgb, mesh)
+
+    run = _infer_fn(denoising_steps, unet_cfg, precision)
     preds = np.asarray(run(params, rgb, jax.random.key(seed)),
-                       dtype=np.float32)
+                       dtype=np.float32)[:ensemble_size]
 
     if ensemble_size > 1:
         depth, _uncert = ensemble_depths(preds)

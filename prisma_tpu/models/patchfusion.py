@@ -437,12 +437,34 @@ def _tile_grid(resolution, crop, off_x, off_y):
     return [(y * h + off_y, x * w + off_x) for x in range(nx) for y in range(ny)]
 
 
+@functools.lru_cache(maxsize=None)
+def _tile_runner(compute_dtype, model_hw, precision):
+    """Jitted batched tile pass, cached by static config so video drivers do
+    not re-trace per frame."""
+
+    @jax.jit
+    def run_tiles(params, crops, img_lr, bbox, areas, prior, cached_feats,
+                  cached_depth):
+        cache = None if cached_feats is None else (cached_feats, cached_depth)
+        depths, cache = patchfusion_tiles(
+            params, crops.astype(compute_dtype), img_lr.astype(compute_dtype),
+            bbox, areas, prior, cache, model_hw=model_hw, precision=precision)
+        return depths.astype(jnp.float32), cache
+
+    return run_tiles
+
+
 def infer(params, image_float, mode: str = "p16", precision=None,
           compute_dtype=jnp.float32, model_hw=MODEL_HW):
     """Full PatchFusion inference on one image [H, W, 3] float in [0,1].
 
-    Returns depth [H, W] float32 at the input resolution.
+    Returns depth [H, W] float32 at the input resolution. On a multi-chip
+    mesh each pass's tile batch is edge-padded to the mesh size and sharded
+    over the `data` axis (SURVEY.md §2.10: tiles across chips); the coarse
+    cache and params ride replicated.
     """
+    from prisma_tpu.parallel import data_mesh_or_none, shard_batch_padded
+
     H, W = image_float.shape[:2]
     resolution = pick_resolution(H, W)
     crop = (resolution[0] // 4, resolution[1] // 4)
@@ -454,15 +476,8 @@ def infer(params, image_float, mode: str = "p16", precision=None,
                       align_corners=True)
 
     blur_mask = generate_blur_mask(crop) + 1e-3
-
-    @functools.partial(jax.jit, static_argnames=())
-    def run_tiles(params, crops, img_lr, bbox, areas, prior, cached_feats,
-                  cached_depth):
-        cache = None if cached_feats is None else (cached_feats, cached_depth)
-        depths, cache = patchfusion_tiles(
-            params, crops.astype(compute_dtype), img_lr.astype(compute_dtype),
-            bbox, areas, prior, cache, model_hw=model_hw, precision=precision)
-        return depths.astype(jnp.float32), cache
+    mesh = data_mesh_or_none()
+    run_tiles = _tile_runner(compute_dtype, tuple(model_hw), precision)
 
     avg_map = None
     count_map = None
@@ -517,10 +532,19 @@ def infer(params, image_float, mode: str = "p16", precision=None,
         bbox_a = jnp.asarray(np.array(bboxes, np.float32))
         prior_a = jnp.asarray(np.stack(priors)) if priors else None
 
+        n_tiles = len(tiles)
+        if mesh is not None:
+            crops_a, _ = shard_batch_padded(crops_a, mesh)
+            areas_a, _ = shard_batch_padded(areas_a, mesh)
+            bbox_a, _ = shard_batch_padded(bbox_a, mesh)
+            if prior_a is not None:
+                prior_a, _ = shard_batch_padded(prior_a, mesh)
+
         cached_feats, cached_depth = (cache if cache is not None
                                       else (None, None))
         depths, cache = run_tiles(params, crops_a, img_lr, bbox_a, areas_a,
                                   prior_a, cached_feats, cached_depth)
+        depths = depths[:n_tiles]
         depths = np.asarray(
             resize2d(jnp.asarray(depths)[..., None], crop,
                      method="linear", align_corners=True))[..., 0]

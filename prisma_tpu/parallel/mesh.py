@@ -44,3 +44,34 @@ def shard_params(params, mesh: Mesh):
 def shard_batch(batch, mesh: Mesh):
     """Place a [B, ...] host array with B sharded over the data axis."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def data_mesh_or_none() -> Mesh | None:
+    """The data mesh when more than one device is visible, else None."""
+    return get_mesh() if len(jax.devices()) > 1 else None
+
+
+def pad_to_mesh(batch, mesh: Mesh):
+    """Pad the leading axis up to a multiple of the mesh size by repeating the
+    last element, so ragged tile/ensemble batches (49 tiles, 10 members) can
+    shard evenly; the caller drops the padded tail of the outputs."""
+    import jax.numpy as jnp
+    n = mesh.devices.size
+    pad = (-batch.shape[0]) % n
+    if pad:
+        batch = jnp.concatenate(
+            [batch, jnp.broadcast_to(batch[-1:], (pad,) + batch.shape[1:])],
+            axis=0)
+    return batch
+
+
+def shard_batch_padded(batch, mesh: Mesh):
+    """Edge-pad the leading axis to the mesh size and shard it over `data`.
+
+    Returns (sharded_array, original_length) — results beyond original_length
+    are duplicates of the last element and must be discarded.
+    """
+    import jax.numpy as jnp
+    orig = batch.shape[0]
+    batch = pad_to_mesh(jnp.asarray(batch), mesh)
+    return jax.device_put(batch, batch_sharding(mesh)), orig
