@@ -6,6 +6,11 @@ into an RGB image (uint8 wraparound preserved), optionally pack a clamped SDF
 into the GREEN channel (--sdf), write inverted (255 - mask) per-frame PNGs for
 COLMAP masking, and register band "mask" with the kept class list in metadata
 (mask_mmdet.py:84-102,131-161).
+
+TPU design: frames ride the batch axis (vmapped SOLOv2 forward = batched
+convs + batched static-K NMS), the batch is sharded over the data mesh, and
+the SDF green channel is computed on device inside the same jitted step
+(ops/sdf.py) — zero host compute in the loop.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.io.image import open_rgb, write_rgb_u8
 from prisma_tpu.io.video import VideoReader, VideoWriter
 from prisma_tpu.models import solov2
-from prisma_tpu.ops.sdf import mask_sdf_channel
+from prisma_tpu.ops.sdf import sdf_green_device
 from prisma_tpu.runtime.config import RuntimeConfig
 from prisma_tpu.weights.store import load_solov2
 
@@ -33,12 +38,23 @@ CLASS_IDS = (0, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23)
 CONFIDENCE_THRESHOLD = 0.5
 
 
-def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float):
+def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float,
+               sdf: bool):
     class_ids = jnp.asarray(CLASS_IDS)
 
-    @jax.jit
-    def step(params, frame_u8):
-        img, img_hw = solov2.preprocess(frame_u8)
+    # multi-chip: replicate params, shard the frame batch over the data mesh
+    from prisma_tpu.parallel import batch_sharding, data_mesh_or_none, \
+        shard_params
+    mesh = data_mesh_or_none()
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        sharding = batch_sharding(mesh)
+        n_dev = mesh.devices.size
+    else:
+        params = jax.device_put(params)
+
+    def one(params, frame_u8):
+        img, img_hw = solov2.preprocess(frame_u8[None])
         out = solov2.forward(params, img, img_hw, ori_hw, cfg)
         keep = (out["valid"] & (out["scores"] > confidence)
                 & jnp.any(out["labels"][:, None] == class_ids[None, :], axis=1))
@@ -46,14 +62,42 @@ def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float):
         composite = jnp.sum(
             jnp.where(keep[:, None, None], out["masks"], False).astype(jnp.float32)
             * 255.0, axis=0)
-        return composite, keep
+        res = {"composite": composite}
+        if sdf:
+            res["green"] = sdf_green_device(composite != 0.0)
+        return res
 
-    return lambda frame: step(params, frame)
+    @jax.jit
+    def step(params, frames_u8):
+        return jax.vmap(lambda f: one(params, f))(frames_u8)
+
+    def call(frames):
+        if mesh is not None:
+            f = jnp.asarray(frames)
+            if f.shape[0] % n_dev == 0:
+                frames = jax.device_put(f, sharding)
+        return step(params, frames)
+
+    return call
 
 
 def _composite_to_rgb(composite: np.ndarray) -> np.ndarray:
     m = composite.astype(np.float64)
     return np.stack([m, m, m], axis=-1)
+
+
+def _write_frame(masks_f64, green, writer_or_path, inverted_path=""):
+    """Host epilogue per frame: inverted PNG (pre-SDF, reference order), green
+    channel injection, uint8 cast with the reference's wrap semantics."""
+    if inverted_path:
+        write_rgb_u8(inverted_path, (255.0 - masks_f64).astype(np.uint8))
+    if green is not None:
+        masks_f64[..., 1] = green.astype(np.float64) * 255.0
+    frame = masks_f64.astype(np.uint8)
+    if isinstance(writer_or_path, str):
+        write_rgb_u8(writer_or_path, frame)
+    else:
+        writer_or_path.write(frame)
 
 
 def run(input_path: str, output: str = "", subpath: str = "",
@@ -64,32 +108,35 @@ def run(input_path: str, output: str = "", subpath: str = "",
     cfg = cfg or solov2.SOLOv2Config()
     io = resolve(BAND, input_path, output=output, subpath=subpath,
                  force_extension="png", runtime=runtime)
-    params = jax.device_put(load_solov2(runtime, cfg))
+    params = load_solov2(runtime, cfg)
 
     if io.is_video():
         reader = VideoReader(io.input)
         writer = VideoWriter(reader.width, reader.height, reader.fps,
                              filename=io.output)
-        step = _make_step(params, (reader.height, reader.width), cfg, confidence)
-        for i, frame in enumerate(reader):
-            composite, _ = step(frame[None])
-            masks = _composite_to_rgb(np.asarray(composite))
-            if io.subpath:
-                write_rgb_u8(os.path.join(io.subpath, f"{i:05d}.png"),
-                             (255.0 - masks).astype(np.uint8))
-            if sdf:
-                masks[..., 1] = mask_sdf_channel(masks) * 255
-            writer.write(masks.astype(np.uint8))
+        step = _make_step(params, (reader.height, reader.width), cfg,
+                          confidence, sdf)
+        idx = 0
+        for frames, valid in reader.batches(runtime.batch_size,
+                                            pad_to_full=True):
+            out = step(frames)
+            comp = np.asarray(out["composite"])
+            green = np.asarray(out["green"]) if sdf else None
+            for b in range(valid):
+                inv = os.path.join(io.subpath, f"{idx:05d}.png") \
+                    if io.subpath else ""
+                _write_frame(_composite_to_rgb(comp[b]),
+                             green[b] if sdf else None, writer, inv)
+                idx += 1
         writer.close()
         reader.close()
     else:
         frame = open_rgb(io.input)
-        step = _make_step(params, frame.shape[:2], cfg, confidence)
-        composite, _ = step(frame[None])
-        masks = _composite_to_rgb(np.asarray(composite))
-        if sdf:
-            masks[..., 1] = mask_sdf_channel(masks) * 255
-        write_rgb_u8(io.output, masks.astype(np.uint8))
+        step = _make_step(params, frame.shape[:2], cfg, confidence, sdf)
+        out = step(frame[None])
+        green = np.asarray(out["green"])[0] if sdf else None
+        _write_frame(_composite_to_rgb(np.asarray(out["composite"])[0]),
+                     green, io.output)
 
     if io.data is not None:
         entry = io.data["bands"].setdefault(BAND, {})
