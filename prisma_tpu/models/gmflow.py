@@ -42,6 +42,10 @@ class GMFlowConfig:
     attn_splits: int = 2
     ffn_dim_expansion: int = 4
     upsample_factor: int = 8
+    # global matching / propagation softmax: "blockwise" streams key chunks
+    # (O(HW*chunk) memory, any resolution); "dense" materializes [B, HW, HW]
+    matching: str = "blockwise"
+    key_chunk: int = 2048
 
 
 # ---------------------------------------------------------------------------
@@ -228,16 +232,73 @@ def transformer_forward(params, feature0, feature1, attn_splits: int,
 # Matching + flow propagation + upsample
 # ---------------------------------------------------------------------------
 
+def _attn_blockwise(q, k, v, scale: float, key_chunk: int = 2048,
+                    precision=None):
+    """softmax(q kᵀ · scale) @ v streamed over key chunks — the long-context
+    strategy for the O((HW)²) global matching (SURVEY.md §5): never
+    materializes [B, N, M]; carries (running max, running denominator, running
+    numerator) in f32 through a lax.scan (flash-attention recurrence with the
+    coordinate grid / flow as V).
+
+    q [B, N, C]; k [B, M, C]; v [M, Dv] (shared) or [B, M, Dv].
+    Returns [B, N, Dv] f32. Matches the materialized softmax to f32 accuracy.
+    """
+    B, N, C = q.shape
+    M = k.shape[1]
+    if v.ndim == 2:
+        v = jnp.broadcast_to(v[None], (B,) + v.shape)
+    Dv = v.shape[-1]
+    key_chunk = min(key_chunk, M)
+    pad = (-M) % key_chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    nc = (M + pad) // key_chunk
+    kc = k.reshape(B, nc, key_chunk, C).transpose(1, 0, 2, 3)
+    vc = v.reshape(B, nc, key_chunk, Dv).transpose(1, 0, 2, 3) \
+        .astype(jnp.float32)
+    validc = (jnp.arange(nc * key_chunk) < M).reshape(nc, key_chunk)
+
+    def body(carry, inp):
+        m, den, num = carry
+        kcb, vcb, vmask = inp
+        s = jnp.einsum("bnc,bmc->bnm", q, kcb,
+                       precision=precision).astype(jnp.float32) * scale
+        s = jnp.where(vmask[None, None, :], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        den = den * alpha + jnp.sum(p, axis=-1)
+        num = num * alpha[..., None] \
+            + jnp.einsum("bnm,bmd->bnd", p, vcb, precision=precision)
+        return (m_new, den, num), None
+
+    init = (jnp.full((B, N), -jnp.inf, jnp.float32),
+            jnp.zeros((B, N), jnp.float32),
+            jnp.zeros((B, N, Dv), jnp.float32))
+    (m, den, num), _ = jax.lax.scan(body, init, (kc, vc, validc))
+    return num / den[..., None]
+
+
+def _coords_grid_flat(H: int, W: int):
+    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    return jnp.stack([gx, gy], axis=-1).reshape(H * W, 2)
+
+
 def global_correlation_softmax(feature0, feature1, bidir: bool,
                                precision=None):
-    """[B, H, W, C] x2 -> flow [B or 2B, H, W, 2] via expected coordinates."""
+    """[B, H, W, C] x2 -> flow [B or 2B, H, W, 2] via expected coordinates.
+
+    Materialized [B, HW, HW] variant (reference matching.py:10-36 semantics);
+    kept as the parity oracle and for small inputs. Production uses
+    global_correlation_softmax_blockwise.
+    """
     B, H, W, C = feature0.shape
     f0 = feature0.reshape(B, H * W, C)
     f1 = feature1.reshape(B, H * W, C)
     corr = jnp.einsum("bnc,bmc->bnm", f0, f1, precision=precision) / (C ** 0.5)
-    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
-                          jnp.arange(H, dtype=jnp.float32))
-    grid = jnp.stack([gx, gy], axis=-1).reshape(H * W, 2)
+    grid = _coords_grid_flat(H, W)
     if bidir:
         corr = jnp.concatenate([corr, corr.transpose(0, 2, 1)], axis=0)
     prob = jax.nn.softmax(corr, axis=-1)
@@ -246,14 +307,42 @@ def global_correlation_softmax(feature0, feature1, bidir: bool,
     return flow
 
 
-def flow_propagation(p, feature0, flow, precision=None):
+def global_correlation_softmax_blockwise(feature0, feature1, bidir: bool,
+                                         key_chunk: int = 2048,
+                                         precision=None):
+    """Blockwise-softmax global matching: O(HW · chunk) memory, any
+    resolution. The backward direction recomputes the correlation with
+    queries/keys swapped (= the reference's transposed-correlation softmax)."""
+    B, H, W, C = feature0.shape
+    f0 = feature0.reshape(B, H * W, C)
+    f1 = feature1.reshape(B, H * W, C)
+    grid = _coords_grid_flat(H, W)
+    scale = 1.0 / (C ** 0.5)
+    corresp = _attn_blockwise(f0, f1, grid, scale, key_chunk, precision)
+    if bidir:
+        bwd = _attn_blockwise(f1, f0, grid, scale, key_chunk, precision)
+        corresp = jnp.concatenate([corresp, bwd], axis=0)
+    flow = corresp.reshape(-1, H, W, 2) - grid.reshape(1, H, W, 2)
+    return flow
+
+
+def flow_propagation(p, feature0, flow, key_chunk: int = 2048,
+                     precision=None, blockwise: bool = True):
     """Global self-attention with flow as value (reference quirk: the key
-    projection is applied on top of the query projection, transformer.py:357-364)."""
+    projection is applied on top of the query projection, transformer.py:357-364).
+
+    The [B, HW, HW] score matrix is as large as the matching one, so it uses
+    the same blockwise streaming softmax by default.
+    """
     B, H, W, C = feature0.shape
     q = pnn.linear(p["q"], feature0.reshape(B, H * W, C), precision=precision)
     k = pnn.linear(p["k"], q, precision=precision)
     v = flow.reshape(B, H * W, 2)
-    scores = jnp.einsum("bnc,bmc->bnm", q, k, precision=precision) / (C ** 0.5)
+    scale = 1.0 / (C ** 0.5)
+    if blockwise:
+        out = _attn_blockwise(q, k, v, scale, key_chunk, precision)
+        return out.astype(flow.dtype).reshape(B, H, W, 2)
+    scores = jnp.einsum("bnc,bmc->bnm", q, k, precision=precision) * scale
     prob = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bnm,bmc->bnc", prob, v,
                       precision=precision).reshape(B, H, W, 2)
@@ -279,11 +368,19 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
     feature0, feature1 = add_position(feature0, feature1, cfg.attn_splits)
     feature0, feature1 = transformer_forward(params["transformer"], feature0,
                                              feature1, cfg.attn_splits, precision)
-    flow = global_correlation_softmax(feature0, feature1, pred_bidir, precision)
+    blockwise = cfg.matching == "blockwise"
+    if blockwise:
+        flow = global_correlation_softmax_blockwise(
+            feature0, feature1, pred_bidir, cfg.key_chunk, precision)
+        flow = flow.astype(feature0.dtype)
+    else:
+        flow = global_correlation_softmax(feature0, feature1, pred_bidir,
+                                          precision)
 
     prop_feat = jnp.concatenate([feature0, feature1], axis=0) if pred_bidir \
         else feature0
-    flow = flow_propagation(params["flow_attn"], prop_feat, flow, precision)
+    flow = flow_propagation(params["flow_attn"], prop_feat, flow,
+                            cfg.key_chunk, precision, blockwise=blockwise)
 
     concat = jnp.concatenate([flow.astype(prop_feat.dtype), prop_feat],
                              axis=-1)

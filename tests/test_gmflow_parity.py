@@ -74,3 +74,40 @@ def test_shift_window_mask_matches_reference():
         device=torch.device("cpu")).numpy()
     ours = jgm.shift_window_attn_mask(h, w, ns)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_blockwise_attn_matches_dense():
+    """Streaming-softmax helper == materialized softmax, incl. ragged padding."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    B, N, M, C, Dv = 2, 50, 96, 16, 2
+    q = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, M, C)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, M, Dv)), jnp.float32)
+    scale = 1.0 / (C ** 0.5)
+    dense = np.asarray(
+        jnp.einsum("bnm,bmd->bnd",
+                   np.asarray(jnp.exp(q @ k.transpose(0, 2, 1) * scale)
+                              / jnp.sum(jnp.exp(q @ k.transpose(0, 2, 1) * scale),
+                                        -1, keepdims=True)), v))
+    for chunk in (96, 40, 7, 2048):
+        ours = np.asarray(jgm._attn_blockwise(q, k, v, scale, key_chunk=chunk))
+        np.testing.assert_allclose(ours, dense, atol=1e-5)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_blockwise_matching_matches_dense(bidir):
+    """forward(matching=blockwise) == forward(matching=dense) to <=1e-3."""
+    import jax
+    H, W = 64, 96
+    rng = np.random.default_rng(5)
+    params = jgm.init_params(jax.random.key(0))
+    img0 = rng.uniform(0, 255, size=(1, H, W, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 10, size=img0.shape), 0, 255).astype(np.float32)
+    dense = np.asarray(jgm.forward(
+        params, img0, img1, jgm.GMFlowConfig(matching="dense"),
+        pred_bidir=bidir, precision="highest"))
+    block = np.asarray(jgm.forward(
+        params, img0, img1, jgm.GMFlowConfig(matching="blockwise", key_chunk=33),
+        pred_bidir=bidir, precision="highest"))
+    np.testing.assert_allclose(block, dense, atol=1e-3)
