@@ -136,13 +136,11 @@ extern "C" int pvc_reader_info(void* h, int* w, int* hgt, double* fps, int64_t* 
   return 0;
 }
 
-// Decode the next frame into an RGB24 buffer of size height*width*3.
-// Returns 1 on success, 0 on EOF, <0 on error.
-extern "C" int pvc_read_frame(void* h, uint8_t* out) {
-  Reader* r = (Reader*)h;
+// Decode the next frame into r->frame. Returns 1 on success, 0 on EOF, <0 error.
+static int reader_next(Reader* r) {
   while (true) {
     int err = avcodec_receive_frame(r->dec, r->frame);
-    if (err == 0) break;
+    if (err == 0) return 1;
     if (err == AVERROR_EOF) return 0;
     if (err != AVERROR(EAGAIN)) {
       set_error("receive_frame", err);
@@ -174,6 +172,14 @@ extern "C" int pvc_read_frame(void* h, uint8_t* out) {
       av_packet_unref(r->pkt);
     }
   }
+}
+
+// Decode the next frame into an RGB24 buffer of size height*width*3.
+// Returns 1 on success, 0 on EOF, <0 on error.
+extern "C" int pvc_read_frame(void* h, uint8_t* out) {
+  Reader* r = (Reader*)h;
+  int rc = reader_next(r);
+  if (rc != 1) return rc;
   r->sws = sws_getCachedContext(r->sws, r->frame->width, r->frame->height,
                                 (AVPixelFormat)r->frame->format, r->width, r->height,
                                 AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
@@ -184,7 +190,127 @@ extern "C" int pvc_read_frame(void* h, uint8_t* out) {
   return 1;
 }
 
+// Decode and discard n frames (no pixel conversion) — frame-index resume seek.
+// Returns the number of frames actually skipped, or <0 on error.
+extern "C" int64_t pvc_reader_skip(void* h, int64_t n) {
+  Reader* r = (Reader*)h;
+  int64_t skipped = 0;
+  while (skipped < n) {
+    int rc = reader_next(r);
+    if (rc < 0) return -1;
+    if (rc == 0) break;
+    av_frame_unref(r->frame);
+    skipped++;
+  }
+  return skipped;
+}
+
 extern "C" void pvc_close_reader(void* h) { reader_free((Reader*)h); }
+
+// ---------------------------------------------------------------------------
+// Stream-copy concatenation (segment remux for frame-index resume)
+// ---------------------------------------------------------------------------
+
+// Concatenate same-codec mp4 segments into out_path WITHOUT re-encoding:
+// demux each input, offset timestamps, remux. Segments come from pvc writers
+// with identical settings, so per-packet durations and decoder delay match.
+extern "C" int pvc_concat(const char* out_path, const char* const* inputs, int n) {
+  if (n <= 0) {
+    set_error("pvc_concat: no inputs");
+    return -1;
+  }
+  AVFormatContext* out = nullptr;
+  int err = avformat_alloc_output_context2(&out, nullptr, nullptr, out_path);
+  if (err < 0 || !out) {
+    set_error("concat alloc_output_context", err);
+    return -1;
+  }
+
+  // configure the output stream from the first segment
+  {
+    AVFormatContext* in0 = nullptr;
+    if ((err = avformat_open_input(&in0, inputs[0], nullptr, nullptr)) < 0 ||
+        (err = avformat_find_stream_info(in0, nullptr)) < 0) {
+      set_error(std::string("concat open ") + inputs[0], err);
+      if (in0) avformat_close_input(&in0);
+      avformat_free_context(out);
+      return -1;
+    }
+    int vidx = av_find_best_stream(in0, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vidx < 0) {
+      set_error("concat: no video stream in first segment");
+      avformat_close_input(&in0);
+      avformat_free_context(out);
+      return -1;
+    }
+    AVStream* ost = avformat_new_stream(out, nullptr);
+    avcodec_parameters_copy(ost->codecpar, in0->streams[vidx]->codecpar);
+    ost->codecpar->codec_tag = 0;
+    ost->time_base = in0->streams[vidx]->time_base;
+    avformat_close_input(&in0);
+  }
+
+  if (!(out->oformat->flags & AVFMT_NOFILE)) {
+    if ((err = avio_open(&out->pb, out_path, AVIO_FLAG_WRITE)) < 0) {
+      set_error(std::string("concat avio_open ") + out_path, err);
+      avformat_free_context(out);
+      return -1;
+    }
+  }
+  if ((err = avformat_write_header(out, nullptr)) < 0) {
+    set_error("concat write_header", err);
+    if (out->pb) avio_closep(&out->pb);
+    avformat_free_context(out);
+    return -1;
+  }
+  AVStream* ost = out->streams[0];
+
+  AVPacket* pkt = av_packet_alloc();
+  int64_t ofs = 0;
+  int rc = 0;
+  for (int i = 0; i < n && rc == 0; i++) {
+    AVFormatContext* in = nullptr;
+    if ((err = avformat_open_input(&in, inputs[i], nullptr, nullptr)) < 0 ||
+        (err = avformat_find_stream_info(in, nullptr)) < 0) {
+      set_error(std::string("concat open ") + inputs[i], err);
+      if (in) avformat_close_input(&in);
+      rc = -1;
+      break;
+    }
+    int vidx = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    AVStream* ist = in->streams[vidx];
+    int64_t seg_end = ofs;
+    while (av_read_frame(in, pkt) >= 0) {
+      if (pkt->stream_index != vidx) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      av_packet_rescale_ts(pkt, ist->time_base, ost->time_base);
+      if (pkt->duration <= 0) pkt->duration = 1;
+      if (pkt->pts != AV_NOPTS_VALUE) pkt->pts += ofs;
+      if (pkt->dts != AV_NOPTS_VALUE) pkt->dts += ofs;
+      if (pkt->pts != AV_NOPTS_VALUE && pkt->pts + pkt->duration > seg_end)
+        seg_end = pkt->pts + pkt->duration;
+      pkt->stream_index = 0;
+      pkt->pos = -1;
+      if ((err = av_interleaved_write_frame(out, pkt)) < 0) {
+        set_error("concat write_frame", err);
+        rc = -1;
+        break;
+      }
+    }
+    ofs = seg_end;
+    avformat_close_input(&in);
+  }
+  av_packet_free(&pkt);
+  if (rc == 0 && (err = av_write_trailer(out)) < 0) {
+    set_error("concat write_trailer", err);
+    rc = -1;
+  }
+  if (out->pb) avio_closep(&out->pb);
+  avformat_free_context(out);
+  return rc;
+}
 
 // ---------------------------------------------------------------------------
 // Writer

@@ -62,8 +62,9 @@ def run_band(band: str, folder: str, runtime, subpath: bool = False,
     print(f"\n#  {band.upper()}")
     impl = _implemented_bands().get(band)
     if impl is None:
-        print(f"[prisma_tpu] band '{band}' not yet implemented; skipping")
-        return False
+        # every reference band is registered; an unknown name is a user error
+        raise ValueError(f"unknown band '{band}' "
+                         f"(known: {sorted(_implemented_bands())})")
     impl(folder, subpath=SUBFOLDERS[band] if subpath else "", runtime=runtime,
          **kwargs)
     return True
@@ -108,10 +109,14 @@ def main(argv=None):
                         action="store_true")
     parser.add_argument("--encoder", help="depth_anything encoder size", type=str,
                         default="vitl", choices=["vits", "vitb", "vitl"])
+    parser.add_argument("--segment_frames", type=int, default=64,
+                        help="mp4 segment size for frame-index resume "
+                             "(0 disables resume)")
     args = parser.parse_args(argv)
 
     runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
-                            random_weights=args.random_weights)
+                            random_weights=args.random_weights,
+                            segment_frames=args.segment_frames)
 
     input_path = args.input
     input_folder = os.path.dirname(input_path)

@@ -54,6 +54,10 @@ def _load_lib():
         lib.pvc_writer_dims.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                                         ctypes.POINTER(ctypes.c_int)]
         lib.pvc_close_writer.argtypes = [ctypes.c_void_p]
+        lib.pvc_reader_skip.restype = ctypes.c_int64
+        lib.pvc_reader_skip.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.pvc_concat.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
         lib.pvc_last_error.restype = ctypes.c_char_p
         _lib = lib
         return lib
@@ -83,6 +87,16 @@ class VideoReader:
         self.width, self.height = w.value, h.value
         self.fps = fps.value
         self.num_frames = int(n.value)
+
+    def skip(self, n: int) -> int:
+        """Decode-and-discard n frames (no pixel conversion) — used by
+        frame-index resume to seek the reader. Returns frames skipped."""
+        if n <= 0:
+            return 0
+        skipped = self._lib.pvc_reader_skip(self._h, int(n))
+        if skipped < 0:
+            raise IOError(f"skip error: {_last_error()}")
+        return int(skipped)
 
     def read(self) -> np.ndarray | None:
         """Next frame as uint8 RGB [H, W, 3], or None at EOF."""
@@ -145,6 +159,17 @@ class VideoReader:
             self.close()
         except Exception:
             pass
+
+
+def concat_videos(out_path: str, segment_paths: list[str]) -> None:
+    """Stream-copy concatenation of same-codec mp4 segments (native remux, no
+    re-encode) — the finalize step of SegmentedVideoWriter."""
+    lib = _load_lib()
+    arr = (ctypes.c_char_p * len(segment_paths))(
+        *[p.encode() for p in segment_paths])
+    rc = lib.pvc_concat(out_path.encode(), arr, len(segment_paths))
+    if rc != 0:
+        raise IOError(f"concat error: {_last_error()}")
 
 
 def get_video_data(path: str):
@@ -239,3 +264,97 @@ class VideoWriter:
             self.close()
         except Exception:
             pass
+
+
+class SegmentedVideoWriter:
+    """Resumable mp4 writer (SURVEY.md §5 failure/resume).
+
+    Frames are encoded into fixed-size segments under <filename>.segments/;
+    close() stream-copy-concatenates them into the final mp4 and removes the
+    directory. A killed run leaves the completed segments behind; a re-run
+    calls completed_frames() to find the resume index (only fully-written,
+    readable segments count), seeks the reader, and continues at the next
+    segment — producing byte-identical output to an uninterrupted run, because
+    the uninterrupted run writes the very same segments.
+    """
+
+    def __init__(self, width: int, height: int, frame_rate: float,
+                 filename: str, segment_frames: int = 64, crf: int = 15,
+                 codec: str = "libx264", start_frame: int = 0,
+                 async_encode: bool = True):
+        if segment_frames <= 0:
+            raise ValueError("segment_frames must be positive")
+        if start_frame % segment_frames:
+            raise ValueError("start_frame must sit on a segment boundary")
+        self.filename = filename
+        self.seg_dir = filename + ".segments"
+        self.segment_frames = segment_frames
+        self._wh = (width, height)
+        self._fps = frame_rate
+        self._crf = crf
+        self._codec = codec
+        self._async = async_encode
+        self._seg_idx = start_frame // segment_frames
+        self._in_seg = 0
+        self._writer: VideoWriter | None = None
+        os.makedirs(self.seg_dir, exist_ok=True)
+        # dimensions after the writer's cap/rounding, for callers
+        probe = VideoWriter(width, height, frame_rate, crf=crf,
+                            filename=os.path.join(self.seg_dir, "_probe.mp4"),
+                            codec=codec, async_encode=False)
+        self.width, self.height = probe.width, probe.height
+        probe.close()
+        os.remove(os.path.join(self.seg_dir, "_probe.mp4"))
+
+    def _seg_path(self, idx: int) -> str:
+        return os.path.join(self.seg_dir, f"{idx:06d}.mp4")
+
+    def write(self, frame: np.ndarray, format: str | None = None):
+        if self._writer is None:
+            self._writer = VideoWriter(
+                self._wh[0], self._wh[1], self._fps, crf=self._crf,
+                filename=self._seg_path(self._seg_idx), codec=self._codec,
+                async_encode=self._async)
+        self._writer.write(frame, format)
+        self._in_seg += 1
+        if self._in_seg == self.segment_frames:
+            self._writer.close()
+            self._writer = None
+            self._seg_idx += 1
+            self._in_seg = 0
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        segs = [self._seg_path(i)
+                for i in range(self._seg_idx + (1 if self._in_seg else 0))]
+        if segs:
+            concat_videos(self.filename, segs)
+        import shutil
+        shutil.rmtree(self.seg_dir, ignore_errors=True)
+
+    @staticmethod
+    def completed_frames(filename: str, segment_frames: int) -> int:
+        """Frames recoverable from a previous (interrupted) run: the length of
+        the contiguous run of full, readable segments starting at 0."""
+        seg_dir = filename + ".segments"
+        if not os.path.isdir(seg_dir):
+            return 0
+        done = 0
+        idx = 0
+        while True:
+            p = os.path.join(seg_dir, f"{idx:06d}.mp4")
+            if not os.path.exists(p):
+                break
+            try:
+                r = VideoReader(p)
+                n = r.num_frames
+                r.close()
+            except Exception:
+                break
+            if n != segment_frames:
+                break
+            done += segment_frames
+            idx += 1
+        return done

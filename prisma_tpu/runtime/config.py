@@ -17,6 +17,11 @@ class RuntimeConfig:
         default_factory=lambda: os.environ.get("PRISMA_TPU_MODELS", "models"))
     random_weights: bool = False         # tests / smoke runs without checkpoints
     data_parallel: bool = True           # shard the frame batch over the mesh
+    weight_cache: bool = True            # orbax cache of converted checkpoints
+    # frame-index resume: video bands write fixed-size mp4 segments and a
+    # min/max ledger; a killed run resumes at the last complete segment and
+    # produces byte-identical output (0 = single-session writer, no resume)
+    segment_frames: int = 64
 
     def resolve_dtype(self):
         import jax.numpy as jnp

@@ -82,7 +82,7 @@ def test_depth_band_multichip_sharded(tmp_path):
     import jax
     import numpy as np
     assert len(jax.devices()) == 8
-    from prisma_tpu.bands import depth_anything_band
+    from prisma_tpu.bands import depth_base
     from prisma_tpu.runtime.config import RuntimeConfig
     from prisma_tpu.weights.store import load_depth_anything
 
@@ -94,8 +94,66 @@ def test_depth_band_multichip_sharded(tmp_path):
     import os
     os.environ["PRISMA_DA_TARGET"] = "126"
     infer = functools.partial(da.infer, encoder=enc)
-    step = depth_anything_band._make_step(params, infer, True, False)
+    step = depth_base.make_step(params, infer, True, False)
     frames = np.random.default_rng(0).integers(0, 255, (8, 48, 64, 3)).astype(np.uint8)
     out = step(frames)
     assert np.asarray(out["heat"]).shape == (8, 48, 64, 3)
     assert np.asarray(out["min"]).shape == (8,)
+
+
+@pytest.mark.slow
+def test_process_video_full_default_pipeline(tmp_path, monkeypatch):
+    """The complete default video pipeline (mask + depth + flow) on random
+    weights, asserting the full folder inventory of reference README.md:136-214
+    (minus COLMAP, whose binary is absent here) — VERDICT item 10.
+    """
+    from prisma_tpu.cli.process import main
+    # the orchestration is under test, not SOLOv2 numerics: shrink the mmdet
+    # (1333, 800) test budget so the CPU mask pass stays fast
+    from prisma_tpu.models import solov2
+    real_scale = solov2.test_scale
+    monkeypatch.setattr(
+        solov2, "test_scale",
+        lambda h, w, long_edge=160, short_edge=96: real_scale(
+            h, w, long_edge, short_edge))
+    clip = str(tmp_path / "clip.mp4")
+    _make_video(clip, frames=3, w=96, h=64)
+    folder = main(["-i", clip, "--random_weights", "--encoder", "vits",
+                   "--batch", "2", "--dtype", "float32",
+                   "--flow_backwards", "--flow_mask"])
+
+    files = sorted(os.listdir(folder))
+    for expected in ["rgba.mp4", "images",
+                     "mask.mp4", "mask",
+                     "depth_anything.mp4", "depth_anything_min.csv",
+                     "depth_anything_max.csv",
+                     "flow_gmflow.mp4", "flow_gmflow.csv",
+                     "flow_gmflow_bwd.mp4", "flow_gmflow_mask.mp4",
+                     "flow_gmflow_mask_bwd.mp4",
+                     "metadata.json"]:
+        assert expected in files, f"{expected} missing from {files}"
+
+    # per-frame inverted pngs for rgba and mask subfolders
+    assert sorted(os.listdir(os.path.join(folder, "images"))) == [
+        f"{i:06d}.png" for i in range(3)]
+    assert sorted(os.listdir(os.path.join(folder, "mask"))) == [
+        f"{i:05d}.png" for i in range(3)]
+
+    meta = json.load(open(os.path.join(folder, "metadata.json")))
+    # default-band aliasing (reference process.py:242-287)
+    assert meta["bands"]["depth"] == meta["bands"]["depth_anything"]
+    assert meta["bands"]["flow"] == meta["bands"]["flow_gmflow"]
+    assert meta["bands"]["flow_bwd"] == meta["bands"]["flow_gmflow_bwd"]
+    assert meta["bands"]["mask"]["ids"][0] == "person"
+
+    # videos decode with the right geometry and frame counts
+    from prisma_tpu.io.video import get_video_data
+    for name, nframes in [("rgba.mp4", 3), ("depth_anything.mp4", 3),
+                          ("mask.mp4", 3), ("flow_gmflow.mp4", 3),
+                          ("flow_gmflow_bwd.mp4", 3)]:
+        w, h, _fps, n = get_video_data(os.path.join(folder, name))
+        assert (w, h) == (96, 64), name
+        assert n == nframes, name
+
+    csv_rows = open(os.path.join(folder, "flow_gmflow.csv")).read().splitlines()
+    assert len(csv_rows) == 3  # 2 pairs + zero-flow last frame

@@ -1,0 +1,89 @@
+"""Frame-index resume for video depth bands (SURVEY.md §5 failure/resume).
+
+Criterion (VERDICT item 7): interrupt a video run at frame N, re-run, and the
+output folder is byte-identical to an uninterrupted run. Both runs write the
+same fixed-size mp4 segments + ledger, so the concatenated bytes match.
+"""
+
+import gc
+import os
+
+import numpy as np
+import pytest
+
+from prisma_tpu.bands import depth_anything_band, depth_base
+from prisma_tpu.runtime.config import RuntimeConfig
+from tests.test_flow_raft_band import _make_folder
+
+RT = dict(random_weights=True, compute_dtype="float32", batch_size=3,
+          segment_frames=4)
+
+
+@pytest.fixture(autouse=True)
+def small_model(monkeypatch):
+    monkeypatch.setenv("PRISMA_DA_TARGET", "126")  # 9x9 ViT grid: fast compile
+
+
+def _run(folder, runtime):
+    return depth_anything_band.run(folder, encoder="vits", runtime=runtime)
+
+
+def _folder_bytes(folder):
+    out = {}
+    for root, _dirs, files in os.walk(folder):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, folder)] = open(p, "rb").read()
+    return out
+
+
+def test_resume_byte_identical(tmp_path, monkeypatch):
+    golden = _make_folder(tmp_path / "golden", frames=10, w=64, h=48)
+    crashy = _make_folder(tmp_path / "crashy", frames=10, w=64, h=48)
+
+    _run(golden, RuntimeConfig(**RT))
+
+    # crash after 2 batches (6 of 10 frames; 1 complete 4-frame segment)
+    real_make_step = depth_base.make_step
+    calls = {"n": 0}
+
+    def failing_make_step(*args, **kwargs):
+        step = real_make_step(*args, **kwargs)
+
+        def wrapped(frames):
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt("simulated kill")
+            calls["n"] += 1
+            return step(frames)
+
+        return wrapped
+
+    monkeypatch.setattr(depth_base, "make_step", failing_make_step)
+    with pytest.raises(KeyboardInterrupt):
+        _run(crashy, RuntimeConfig(**RT))
+    monkeypatch.undo()
+    gc.collect()  # release the interrupted segment writer (closes its file)
+
+    seg_dir = os.path.join(crashy, "depth_anything.mp4.segments")
+    assert os.path.isdir(seg_dir), "interrupted run should leave segments"
+    from prisma_tpu.io.video import SegmentedVideoWriter
+    done = SegmentedVideoWriter.completed_frames(
+        os.path.join(crashy, "depth_anything.mp4"), 4)
+    assert done == 4
+
+    _run(crashy, RuntimeConfig(**RT))
+    assert not os.path.isdir(seg_dir)
+
+    gb = _folder_bytes(golden)
+    cb = _folder_bytes(crashy)
+    assert set(gb) == set(cb)
+    for name in gb:
+        assert gb[name] == cb[name], f"{name} differs after resume"
+
+
+def test_no_resume_when_disabled(tmp_path):
+    folder = _make_folder(tmp_path / "plain", frames=5, w=64, h=48)
+    rt = RuntimeConfig(**{**RT, "segment_frames": 0})
+    io = _run(folder, rt)
+    assert os.path.exists(io.output)
+    assert not os.path.isdir(io.output + ".segments")
