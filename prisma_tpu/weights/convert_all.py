@@ -20,25 +20,27 @@ def main(argv=None):
     if args.models_dir:
         runtime.models_dir = args.models_dir
 
+    # load_* populate the versioned orbax cache themselves (_cached_convert);
+    # this tool just runs every conversion up front
     jobs = [
         ("depth_anything_vitl", lambda: store.load_depth_anything(
-            runtime, "vitl")[1]),
+            runtime, "vitl")),
         ("depth_anything_metric_outdoor", lambda: store.load_depth_anything(
-            runtime, "vitl", metric="outdoor")[1]),
+            runtime, "vitl", metric="outdoor")),
         ("depth_anything_metric_indoor", lambda: store.load_depth_anything(
-            runtime, "vitl", metric="indoor")[1]),
+            runtime, "vitl", metric="indoor")),
         ("raft", lambda: store.load_raft(runtime)),
         ("gmflow", lambda: store.load_gmflow(runtime)),
         ("solov2", lambda: store.load_solov2(runtime)),
-        ("midas_dpt_large", lambda: store.load_midas(runtime)),
+        ("midas_dpt_large", lambda: store.load_midas(runtime, "midas3")),
+        ("midas_v21", lambda: store.load_midas(runtime, "midas2")),
         ("zoed_n", lambda: store.load_zoed(runtime)),
-        ("patchfusion", lambda: store.load_patchfusion(runtime)[0]),
-        ("marigold", lambda: store.load_marigold(runtime)[0]),
+        ("patchfusion", lambda: store.load_patchfusion(runtime)),
+        ("marigold", lambda: store.load_marigold(runtime)),
     ]
     for name, load in jobs:
         try:
-            params = load()
-            store.save_converted(runtime, name, params)
+            load()
             print(f"[convert_all] cached {name}")
         except FileNotFoundError as e:
             print(f"[convert_all] skipped {name}: {e}")

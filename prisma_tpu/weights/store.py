@@ -40,6 +40,43 @@ def _load_torch_state_dict(path: str) -> dict:
     return sd
 
 
+# bump when torch_convert layouts change so stale cache entries invalidate
+CONVERTER_VERSION = 1
+
+
+def _source_tag(path: str) -> str:
+    """mtime+size fingerprint of a checkpoint file (or dir of files)."""
+    if os.path.isdir(path):
+        import hashlib
+        parts = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}{int(st.st_mtime)}{st.st_size}")
+        return hashlib.md5("".join(parts).encode()).hexdigest()[:12]
+    st = os.stat(path)
+    return f"{int(st.st_mtime)}_{st.st_size}"
+
+
+def _cached_convert(runtime: RuntimeConfig, name: str, src_path: str,
+                    convert_fn):
+    """Consult the orbax cache first (keyed by converter version + checkpoint
+    fingerprint), else run the torch conversion and populate the cache —
+    second process start spends seconds, not minutes, in weight loading."""
+    if not getattr(runtime, "weight_cache", True):
+        return convert_fn()
+    tag = f"{name}_v{CONVERTER_VERSION}_{_source_tag(src_path)}"
+    params = load_converted(runtime, tag)
+    if params is not None:
+        return params
+    params = convert_fn()
+    try:
+        save_converted(runtime, tag, params)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"[weights] cache save failed for {tag}: {e}")
+    return params
+
+
 def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
                         metric: str = "none"):
     """-> (kind, params, encoder_name) with kind in {"relative", "metric"}.
@@ -73,8 +110,11 @@ def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
             raise FileNotFoundError(
                 f"checkpoint {path} not found; place the metric checkpoint "
                 "there or set runtime.random_weights=True")
-        sd = _load_torch_state_dict(path)
-        return "metric", convert_metric_depth_anything(sd, depth=24), encoder
+        params = _cached_convert(
+            runtime, f"depth_anything_metric_{metric}", path,
+            lambda: convert_metric_depth_anything(_load_torch_state_dict(path),
+                                                  depth=24))
+        return "metric", params, encoder
 
     if runtime.random_weights:
         return "relative", da.init_params(jax.random.key(0), encoder), encoder
@@ -84,9 +124,12 @@ def load_depth_anything(runtime: RuntimeConfig, encoder: str = "vitl",
         raise FileNotFoundError(
             f"checkpoint {path} not found; place the torch state_dict there or "
             "set runtime.random_weights=True for smoke runs")
-    sd = _load_torch_state_dict(path)
     depth = pvit.VIT_CONFIGS[encoder].depth
-    return "relative", convert_depth_anything(sd, depth=depth), encoder
+    params = _cached_convert(
+        runtime, f"depth_anything_{encoder}", path,
+        lambda: convert_depth_anything(_load_torch_state_dict(path),
+                                       depth=depth))
+    return "relative", params, encoder
 
 
 def load_raft(runtime: RuntimeConfig):
@@ -101,7 +144,8 @@ def load_raft(runtime: RuntimeConfig):
         raise FileNotFoundError(
             f"checkpoint {path} not found; place raft-sintel.pth there or set "
             "runtime.random_weights=True for smoke runs")
-    return convert_raft(_load_torch_state_dict(path))
+    return _cached_convert(runtime, "raft_sintel", path,
+                           lambda: convert_raft(_load_torch_state_dict(path)))
 
 
 def load_gmflow(runtime: RuntimeConfig):
@@ -117,7 +161,9 @@ def load_gmflow(runtime: RuntimeConfig):
         raise FileNotFoundError(
             f"checkpoint {path} not found; place the gmflow checkpoint there "
             "or set runtime.random_weights=True for smoke runs")
-    return convert_gmflow(_load_torch_state_dict(path))
+    return _cached_convert(
+        runtime, "gmflow_sintel", path,
+        lambda: convert_gmflow(_load_torch_state_dict(path)))
 
 
 def load_solov2(runtime: RuntimeConfig, cfg=None):
@@ -136,23 +182,48 @@ def load_solov2(runtime: RuntimeConfig, cfg=None):
         raise FileNotFoundError(
             f"no solov2_r101_fpn_3x_coco*.pth under {runtime.models_dir}; "
             "place the mmdet checkpoint there or set runtime.random_weights=True")
-    return convert_solov2(_load_torch_state_dict(matches[0]))
+    return _cached_convert(
+        runtime, "solov2_r101", matches[0],
+        lambda: convert_solov2(_load_torch_state_dict(matches[0])))
 
 
 def load_midas(runtime: RuntimeConfig, model_version: str = "midas3"):
-    """MiDaS DPT-Large weights (hub checkpoint dpt_large_384.pt)."""
+    """-> (arch, params) for any reference model_version (depth_midas.py:26-41):
+    midas2 / midas2-small -> MidasNet v2.1 (arch "v2"); midas3 / midas3-small
+    -> DPT_Large (arch "dpt"). The -small variants differ only in transform
+    target (256 vs 384), applied by the band."""
     from prisma_tpu.models import midas as jmidas
-    from prisma_tpu.weights.torch_convert import convert_midas_dpt
+    from prisma_tpu.weights.torch_convert import (convert_midas2,
+                                                  convert_midas_dpt)
 
-    if model_version != "midas3":
-        print(f"[depth_midas] model_version '{model_version}' not yet "
-              "available; using midas3 (DPT_Large)")
+    if model_version not in ("midas2-small", "midas2", "midas3-small",
+                             "midas3"):
+        raise ValueError(f"unknown midas model_version '{model_version}'")
+    arch = "v2" if model_version.startswith("midas2") else "dpt"
+
     if runtime.random_weights:
-        return jmidas.init_params(jax.random.key(4))
+        if arch == "v2":
+            return arch, jmidas.init_params_v2(jax.random.key(4))
+        return arch, jmidas.init_params(jax.random.key(4))
+
+    if arch == "v2":
+        for name in ("midas_v21_384.pt", "midas_v21-f6b98070.pt",
+                     "model-f6b98070.pt"):
+            path = os.path.join(runtime.models_dir, name)
+            if os.path.exists(path):
+                return arch, _cached_convert(
+                    runtime, "midas_v21", path,
+                    lambda p=path: convert_midas2(_load_torch_state_dict(p)))
+        raise FileNotFoundError(
+            f"no MiDaS v2.1 checkpoint under {runtime.models_dir}; place "
+            "midas_v21_384.pt there or set runtime.random_weights=True")
+
     for name in ("dpt_large_384.pt", "dpt_large-midas-2f21e586.pt"):
         path = os.path.join(runtime.models_dir, name)
         if os.path.exists(path):
-            return convert_midas_dpt(_load_torch_state_dict(path))
+            return arch, _cached_convert(
+                runtime, "midas_dpt_large", path,
+                lambda p=path: convert_midas_dpt(_load_torch_state_dict(p)))
     raise FileNotFoundError(
         f"no MiDaS DPT_Large checkpoint under {runtime.models_dir}; place "
         "dpt_large_384.pt there or set runtime.random_weights=True")
@@ -171,7 +242,8 @@ def load_zoed(runtime: RuntimeConfig):
         raise FileNotFoundError(
             f"checkpoint {path} not found; place ZoeD_M12_N.pt there or set "
             "runtime.random_weights=True for smoke runs")
-    return convert_zoed(_load_torch_state_dict(path))
+    return _cached_convert(runtime, "zoed_n", path,
+                           lambda: convert_zoed(_load_torch_state_dict(path)))
 
 
 def load_patchfusion(runtime: RuntimeConfig):
@@ -190,7 +262,10 @@ def load_patchfusion(runtime: RuntimeConfig):
         raise FileNotFoundError(
             f"checkpoint {path} not found; place patchfusion_u4k.pt there or "
             "set runtime.random_weights=True for smoke runs")
-    return convert_patchfusion(_load_torch_state_dict(path)), (384, 512)
+    params = _cached_convert(
+        runtime, "patchfusion_u4k", path,
+        lambda: convert_patchfusion(_load_torch_state_dict(path)))
+    return params, (384, 512)
 
 
 def load_marigold(runtime: RuntimeConfig):
@@ -214,7 +289,9 @@ def load_marigold(runtime: RuntimeConfig):
             f"{mdir} not found; place the Bingxin/Marigold diffusers snapshot "
             "(unet/vae/text_encoder torch weights) there or set "
             "runtime.random_weights=True")
-    return convert_marigold(mdir), sd2.UNetConfig()
+    params = _cached_convert(runtime, "marigold", mdir,
+                             lambda: convert_marigold(mdir))
+    return params, sd2.UNetConfig()
 
 
 # ---------------------------------------------------------------------------
