@@ -152,3 +152,98 @@ def init_params(rng: jax.Array, dtype=jnp.float32) -> dict:
         "head2": conv(next(keys), 3, 3, 128, 32),
         "head4": conv(next(keys), 1, 1, 32, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# MiDaS v2.1 (MidasNet): resnext101_32x8d_wsl + FeatureFusionBlock decoder
+# ---------------------------------------------------------------------------
+# Behavior target: torch.hub intel-isl/MiDaS 'MiDaS' used by the midas2 and
+# midas2-small model_versions (reference bands/depth_midas.py:26-41; both
+# load the SAME MidasNet, differing only in transform target 384 vs 256).
+# The hub code is not vendored; implemented from the published architecture:
+# ResNeXt101 backbone, 3x3 bias-free scratch convs to 256ch, 4 fusion blocks
+# (ResidualConvUnit x2 + x2 bilinear align_corners=True upsample), monodepth
+# head conv->128, x2 upsample (align_corners=False), conv->32, relu, conv->1,
+# relu (non_negative=True).
+
+from prisma_tpu.models import resnet as presnet
+
+
+def _rcu_v2(p, x, precision=None):
+    """ResidualConvUnit: relu-conv3x3-relu-conv3x3 + skip (biased convs)."""
+    y = pnn.conv2d(p["conv1"], jax.nn.relu(x), padding=1, precision=precision)
+    y = pnn.conv2d(p["conv2"], jax.nn.relu(y), padding=1, precision=precision)
+    return x + y
+
+
+def _fusion_v2(p, x, skip=None, precision=None):
+    if skip is not None:
+        x = x + _rcu_v2(p["rcu1"], skip, precision)
+    x = _rcu_v2(p["rcu2"], x, precision)
+    return resize2d(x, (x.shape[1] * 2, x.shape[2] * 2), method="linear",
+                    align_corners=True)
+
+
+def midas2_forward(params, x, precision=None):
+    """x [B, H, W, 3] normalized, H/W multiples of 32 -> disparity [B, H, W]."""
+    c1, c2, c3, c4 = presnet.forward(params["backbone"], x, precision,
+                                     groups=32)
+    l1, l2, l3, l4 = [pnn.conv2d(params["scratch"][i], c, padding=1,
+                                 precision=precision)
+                      for i, c in enumerate((c1, c2, c3, c4))]
+    r = params["refinenet"]
+    path4 = _fusion_v2(r[3], l4, precision=precision)
+    path3 = _fusion_v2(r[2], path4, l3, precision)
+    path2 = _fusion_v2(r[1], path3, l2, precision)
+    path1 = _fusion_v2(r[0], path2, l1, precision)
+
+    out = pnn.conv2d(params["head0"], path1, padding=1, precision=precision)
+    out = resize2d(out, (out.shape[1] * 2, out.shape[2] * 2), method="linear",
+                   align_corners=False)
+    out = jax.nn.relu(pnn.conv2d(params["head2"], out, padding=1,
+                                 precision=precision))
+    out = jax.nn.relu(pnn.conv2d(params["head4"], out, precision=precision))
+    return out[..., 0]
+
+
+def infer_v2(params, frames_u8, precision=None, compute_dtype=jnp.float32,
+             target: int = 384):
+    """midas2 driver-equivalent inference (hub default/small_transform prep:
+    upper_bound resize to target multiple-of-32 + ImageNet normalize; bicubic
+    align_corners=True resize-back, depth_midas.py:58-64)."""
+    B, H, W, _ = frames_u8.shape
+    w2, h2 = dpt_input_size(W, H, target=target, multiple=32,
+                            method="upper_bound")
+    img = frames_u8.astype(jnp.float32) / 255.0
+    img = resize2d(img, (h2, w2), method="cubic")
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    img = ((img - mean) / std).astype(compute_dtype)
+    pred = midas2_forward(params, img, precision).astype(jnp.float32)
+    return resize2d(pred[..., None], (H, W), method="cubic",
+                    align_corners=True)[..., 0]
+
+
+def init_params_v2(rng: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 64))
+
+    def conv(kh, kw, cin, cout, bias=True):
+        p = {"w": (jax.random.normal(next(keys), (kh, kw, cin, cout))
+                   * ((kh * kw * cin) ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
+
+    def rcu(c):
+        return {"conv1": conv(3, 3, c, c), "conv2": conv(3, 3, c, c)}
+
+    return {
+        "backbone": presnet.init_params(next(keys), 101, dtype, groups=32,
+                                        width_per_group=8),
+        "scratch": [conv(3, 3, c, 256, bias=False)
+                    for c in (256, 512, 1024, 2048)],
+        "refinenet": [{"rcu1": rcu(256), "rcu2": rcu(256)} for _ in range(4)],
+        "head0": conv(3, 3, 256, 128),
+        "head2": conv(3, 3, 128, 32),
+        "head4": conv(1, 1, 32, 1),
+    }

@@ -23,11 +23,12 @@ def _affine(p, x):
     return x * p["scale"] + p["bias"]
 
 
-def _bottleneck(p, x, stride: int, precision=None):
+def _bottleneck(p, x, stride: int, precision=None, groups: int = 1):
     y = jax.nn.relu(_affine(p["bn1"], pnn.conv2d(p["conv1"], x,
                                                  precision=precision)))
     y = jax.nn.relu(_affine(p["bn2"], pnn.conv2d(p["conv2"], y, stride=stride,
-                                                 padding=1, precision=precision)))
+                                                 padding=1, precision=precision,
+                                                 groups=groups)))
     y = _affine(p["bn3"], pnn.conv2d(p["conv3"], y, precision=precision))
     if "down" in p:
         x = _affine(p["down_bn"], pnn.conv2d(p["down"], x, stride=stride,
@@ -42,8 +43,11 @@ def _max_pool_3x3_s2(x):
         [(0, 0), (1, 1), (1, 1), (0, 0)])
 
 
-def forward(params, x, precision=None):
-    """x [B, H, W, 3] normalized -> (C2, C3, C4, C5) NHWC feature maps."""
+def forward(params, x, precision=None, groups: int = 1):
+    """x [B, H, W, 3] normalized -> (C2, C3, C4, C5) NHWC feature maps.
+
+    groups > 1 selects the ResNeXt bottleneck (grouped 3x3) — e.g. 32 for
+    the resnext101_32x8d_wsl backbone of MiDaS v2.1."""
     x = pnn.conv2d(params["stem"], x, stride=2, padding=3, precision=precision)
     x = jax.nn.relu(_affine(params["stem_bn"], x))
     x = _max_pool_3x3_s2(x)
@@ -51,12 +55,13 @@ def forward(params, x, precision=None):
     for si, stage in enumerate(params["stages"]):
         for bi, block in enumerate(stage):
             stride = 2 if (si > 0 and bi == 0) else 1
-            x = _bottleneck(block, x, stride, precision)
+            x = _bottleneck(block, x, stride, precision, groups)
         outs.append(x)
     return tuple(outs)
 
 
-def init_params(rng: jax.Array, depth: int = 101, dtype=jnp.float32) -> dict:
+def init_params(rng: jax.Array, depth: int = 101, dtype=jnp.float32,
+                groups: int = 1, width_per_group: int = 64) -> dict:
     stages_cfg = RESNET_STAGES[depth]
     rngs = iter(jax.random.split(rng, 512))
 
@@ -73,11 +78,12 @@ def init_params(rng: jax.Array, depth: int = 101, dtype=jnp.float32) -> dict:
     for si, nblocks in enumerate(stages_cfg):
         stage = []
         cout = width * 4
+        inner = int(width * (width_per_group / 64.0)) * groups
         for bi in range(nblocks):
             block = {
-                "conv1": conv(1, 1, cin, width), "bn1": aff(width),
-                "conv2": conv(3, 3, width, width), "bn2": aff(width),
-                "conv3": conv(1, 1, width, cout), "bn3": aff(cout),
+                "conv1": conv(1, 1, cin, inner), "bn1": aff(inner),
+                "conv2": conv(3, 3, inner // groups, inner), "bn2": aff(inner),
+                "conv3": conv(1, 1, inner, cout), "bn3": aff(cout),
             }
             if bi == 0:
                 block["down"] = conv(1, 1, cin, cout)

@@ -33,12 +33,14 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def conv2d(p, x, stride: int = 1, padding: int = 0, precision=None):
-    """NHWC conv with weights stored HWIO."""
+def conv2d(p, x, stride: int = 1, padding: int = 0, precision=None,
+           groups: int = 1):
+    """NHWC conv with weights stored HWIO ([kh, kw, cin/groups, cout])."""
     y = lax.conv_general_dilated(
         x, p["w"], window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+        feature_group_count=groups)
     if "b" in p:
         y = y + p["b"]
     return y

@@ -810,3 +810,51 @@ def _load_torch_state_dict_file(path: str) -> dict:
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]
     return sd
+
+
+def convert_midas2(sd: dict, dtype=jnp.float32) -> dict:
+    """torch.hub intel-isl/MiDaS 'MiDaS' (MidasNet v2.1) checkpoint.
+
+    Layout: pretrained.layer1 = Sequential(conv1, bn1, relu, maxpool,
+    resnext.layer1) and pretrained.layer{2,3,4} = resnext.layer{2,3,4}
+    (midas/blocks.py _make_resnet_backbone); scratch.layerX_rn bias-free 3x3s,
+    scratch.refinenetX.resConfUnit{1,2}, scratch.output_conv Sequential.
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    stages = (3, 4, 23, 3)
+    backbone = {"stem": _conv(sd, "pretrained.layer1.0", dtype),
+                "stem_bn": _fold_bn(sd, "pretrained.layer1.1", dtype),
+                "stages": []}
+    for si, nblocks in enumerate(stages):
+        prefix = "pretrained.layer1.4." if si == 0 else f"pretrained.layer{si + 1}."
+        stage = []
+        for bi in range(nblocks):
+            k = f"{prefix}{bi}."
+            block = {"conv1": _conv(sd, k + "conv1", dtype),
+                     "bn1": _fold_bn(sd, k + "bn1", dtype),
+                     "conv2": _conv(sd, k + "conv2", dtype),
+                     "bn2": _fold_bn(sd, k + "bn2", dtype),
+                     "conv3": _conv(sd, k + "conv3", dtype),
+                     "bn3": _fold_bn(sd, k + "bn3", dtype)}
+            if k + "downsample.0.weight" in sd:
+                block["down"] = _conv(sd, k + "downsample.0", dtype)
+                block["down_bn"] = _fold_bn(sd, k + "downsample.1", dtype)
+            stage.append(block)
+        backbone["stages"].append(stage)
+
+    def rcu(key):
+        return {"conv1": _conv(sd, key + ".conv1", dtype),
+                "conv2": _conv(sd, key + ".conv2", dtype)}
+
+    return {
+        "backbone": backbone,
+        "scratch": [_conv(sd, f"scratch.layer{i + 1}_rn", dtype)
+                    for i in range(4)],
+        "refinenet": [{"rcu1": rcu(f"scratch.refinenet{i + 1}.resConfUnit1"),
+                       "rcu2": rcu(f"scratch.refinenet{i + 1}.resConfUnit2")}
+                      for i in range(4)],
+        "head0": _conv(sd, "scratch.output_conv.0", dtype),
+        "head2": _conv(sd, "scratch.output_conv.2", dtype),
+        "head4": _conv(sd, "scratch.output_conv.4", dtype),
+    }
