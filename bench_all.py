@@ -1,0 +1,313 @@
+#!/usr/bin/env python3
+"""Per-band + end-to-end benchmarks for every BASELINE-tracked config.
+
+BASELINE.md:35-37 tracks: depth_midas single image; depth_anything video;
+flow_raft + flow_gmflow (HSV encoding); mask_mmdet + rgba compositing;
+depth_patchfusion tiled; depth_marigold diffusion — plus the e2e north star
+(depth + flow + mask > 60 fps 1080p on a v5e-8; per-chip share 7.5 fps).
+
+Usage:
+    python bench_all.py                 # all configs, one JSON line each
+    python bench_all.py --only mask     # one config
+    python bench_all.py --list
+Each config runs in a fresh subprocess (own HBM arena); results aggregate to
+BENCHMARKS.json. Weights are random-init (no checkpoints in this image) —
+identical compute graphs to the real ones.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR_PER_CHIP = 7.5  # 60 fps / v5e-8 for the depth+flow+mask e2e bands
+
+
+def _device_bench(step, args_dev, iters, items_per_iter):
+    """Median-free simple wall bench: warmup+compile, then timed loop."""
+    import jax
+    out = step(*args_dev)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args_dev)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return items_per_iter * iters / dt
+
+
+def bench_depth_anything():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import depth_anything as da
+    from prisma_tpu.weights.store import cast_params
+
+    batch = int(os.environ.get("PRISMA_BENCH_BATCH", "8"))
+    params = jax.device_put(cast_params(
+        da.init_params(jax.random.key(0), "vitl"), jnp.bfloat16))
+
+    @jax.jit
+    def step(params, frames):
+        return da.infer_video_batch(params, frames, encoder="vitl",
+                                    compute_dtype=jnp.bfloat16)
+
+    frames = jax.device_put(np.random.default_rng(0).integers(
+        0, 255, size=(batch, 1080, 1920, 3)).astype(np.uint8))
+    fps = _device_bench(step, (params, frames), 5, batch)
+    return {"metric": "depth_anything_vitl_1080p_fps_per_chip", "value": fps,
+            "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP}
+
+
+def bench_depth_midas():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import midas as jmidas
+    from prisma_tpu.weights.store import cast_params
+
+    params = jax.device_put(cast_params(
+        jmidas.init_params(jax.random.key(0)), jnp.bfloat16))
+
+    @jax.jit
+    def step(params, frames):
+        return jmidas.infer(params, frames, compute_dtype=jnp.bfloat16)
+
+    # single-image config: batch 1, 1080p input, 384 upper-bound budget
+    frames = jax.device_put(np.random.default_rng(0).integers(
+        0, 255, size=(1, 1080, 1920, 3)).astype(np.uint8))
+    fps = _device_bench(step, (params, frames), 10, 1)
+    return {"metric": "depth_midas_dpt_large_1080p_image_fps", "value": fps,
+            "unit": "frames/s/chip", "vs_baseline": None}
+
+
+def bench_flow_raft():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import raft as jraft
+    from prisma_tpu.weights.store import cast_params
+
+    params = jax.device_put(cast_params(
+        jraft.init_params(jax.random.key(1)), jnp.bfloat16))
+    h, w = 810, 1440  # 1080p x 0.75 (reference flow_raft.py:100,183)
+    pairs = int(os.environ.get("PRISMA_BENCH_RAFT_PAIRS", "2"))
+
+    @jax.jit
+    def step(params, i1, i2):
+        fwd, bwd = jraft.infer_pairs(params, i1, i2, iters=20,
+                                     compute_dtype=jnp.bfloat16)
+        return fwd, bwd
+
+    rng = np.random.default_rng(0)
+    i1 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    fps = _device_bench(step, (params, i1, i2), 3, pairs)
+    return {"metric": "flow_raft_810x1440_bidir_pair_fps", "value": fps,
+            "unit": "pairs/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP}
+
+
+def bench_flow_gmflow():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import gmflow as jgm
+    from prisma_tpu.weights.store import cast_params
+
+    params = jax.device_put(cast_params(
+        jgm.init_params(jax.random.key(2)), jnp.bfloat16))
+    h, w = 810, 1440
+    pairs = int(os.environ.get("PRISMA_BENCH_GMFLOW_PAIRS", "2"))
+    matching = os.environ.get("PRISMA_BENCH_GMFLOW_MATCH", "blockwise")
+    cfg = jgm.GMFlowConfig(matching=matching)
+
+    @jax.jit
+    def step(params, i1, i2):
+        return jgm.infer_pairs(params, i1.astype(jnp.bfloat16),
+                               i2.astype(jnp.bfloat16), cfg)
+
+    rng = np.random.default_rng(0)
+    i1 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    fps = _device_bench(step, (params, i1, i2), 3, pairs)
+    return {"metric": f"flow_gmflow_810x1440_bidir_pair_fps_{matching}",
+            "value": fps, "unit": "pairs/s/chip",
+            "vs_baseline": fps / NORTH_STAR_PER_CHIP}
+
+
+def bench_mask():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.bands import mask_band
+    from prisma_tpu.models import solov2
+    from prisma_tpu.weights.store import cast_params
+
+    batch = int(os.environ.get("PRISMA_BENCH_MASK_BATCH", "4"))
+    cfg = solov2.SOLOv2Config()
+    params = cast_params(solov2.init_params(jax.random.key(3), cfg),
+                         jnp.bfloat16)
+    step = mask_band._make_step(params, (1080, 1920), cfg,
+                                mask_band.CONFIDENCE_THRESHOLD, sdf=True)
+    frames = jax.device_put(np.random.default_rng(0).integers(
+        0, 255, size=(batch, 1080, 1920, 3)).astype(np.uint8))
+    fps = _device_bench(lambda f: step(f), (frames,), 5, batch)
+    return {"metric": "mask_solov2_sdf_1080p_fps_per_chip", "value": fps,
+            "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP}
+
+
+def bench_patchfusion():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import patchfusion as pf
+
+    params = pf.init_params(jax.random.key(6), beit_depth=24)
+    from prisma_tpu.weights.store import cast_params
+    params = jax.device_put(cast_params(params, jnp.bfloat16))
+    img = np.random.default_rng(0).uniform(0, 1, (1080, 1920, 3)).astype(np.float32)
+
+    # warmup (compiles the tile passes)
+    pf.infer(params, img, mode="p49", compute_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        pf.infer(params, img, mode="p49", compute_dtype=jnp.bfloat16)
+    dt = (time.perf_counter() - t0) / iters
+    return {"metric": "depth_patchfusion_p49_1080p_s_per_frame", "value": dt,
+            "unit": "s/frame", "vs_baseline": None}
+
+
+def bench_marigold():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import marigold as jmar
+    from prisma_tpu.models import sd2
+    from prisma_tpu.weights.store import cast_params
+
+    ucfg = sd2.UNetConfig()
+    params = jax.device_put(cast_params(
+        jmar.init_params(jax.random.key(7), ucfg), jnp.bfloat16))
+    frame = np.random.default_rng(0).integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
+
+    jmar.infer(params, frame, denoising_steps=10, ensemble_size=10,
+               processing_res=768, unet_cfg=ucfg, compute_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    jmar.infer(params, frame, denoising_steps=10, ensemble_size=10,
+               processing_res=768, unet_cfg=ucfg, compute_dtype=jnp.bfloat16)
+    dt = time.perf_counter() - t0
+    return {"metric": "depth_marigold_10x10_768_s_per_frame", "value": dt,
+            "unit": "s/frame", "vs_baseline": None}
+
+
+def bench_e2e():
+    """The north-star gauge: decode -> depth + flow + mask -> encode on a real
+    synthetic 1080p clip, through the actual band drivers (native codec IO,
+    prefetch, async encode). Reports end-to-end fps for the 3-band set."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from prisma_tpu.bands import depth_anything_band, flow_gmflow_band, mask_band
+    from prisma_tpu.io.video import VideoWriter
+    from prisma_tpu.runtime.config import RuntimeConfig
+
+    nframes = int(os.environ.get("PRISMA_BENCH_E2E_FRAMES", "48"))
+    work = tempfile.mkdtemp(prefix="prisma_bench_")
+    clip = os.path.join(work, "clip.mp4")
+    wr = VideoWriter(1920, 1080, 24.0, filename=clip)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
+    for i in range(nframes):
+        wr.write(np.roll(base, i * 7, axis=1))
+    wr.close()
+
+    runtime = RuntimeConfig(random_weights=True,
+                            batch_size=int(os.environ.get("PRISMA_BENCH_BATCH",
+                                                          "8")))
+    # warm the compile caches with a one-batch run? No: measure a cold band
+    # run but subtract nothing — report both total and steady-state.
+    t0 = time.perf_counter()
+    mask_band.run(clip, output=os.path.join(work, "mask.mp4"),
+                  sdf=True, runtime=runtime)
+    t1 = time.perf_counter()
+    depth_anything_band.run(clip, output=os.path.join(work, "depth.mp4"),
+                            encoder="vitl", runtime=runtime)
+    t2 = time.perf_counter()
+    flow_gmflow_band.run(clip, output=os.path.join(work, "flow.mp4"),
+                         runtime=runtime)
+    t3 = time.perf_counter()
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = t3 - t0
+    fps = nframes / total
+    sys.stderr.write(
+        f"[bench_e2e] mask {nframes / (t1 - t0):.2f} fps, "
+        f"depth {nframes / (t2 - t1):.2f} fps, "
+        f"flow {nframes / (t3 - t2):.2f} fps (incl. compile)\n")
+    return {"metric": "e2e_depth_flow_mask_1080p_fps_per_chip", "value": fps,
+            "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP,
+            "detail": {"mask_fps": nframes / (t1 - t0),
+                       "depth_fps": nframes / (t2 - t1),
+                       "flow_fps": nframes / (t3 - t2),
+                       "frames": nframes, "includes_compile": True}}
+
+
+BENCHES = {
+    "depth_anything": bench_depth_anything,
+    "depth_midas": bench_depth_midas,
+    "flow_raft": bench_flow_raft,
+    "flow_gmflow": bench_flow_gmflow,
+    "mask": bench_mask,
+    "patchfusion": bench_patchfusion,
+    "marigold": bench_marigold,
+    "e2e": bench_e2e,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", help="run a single config in-process")
+    parser.add_argument("--list", action="store_true")
+    parser.add_argument("--configs", nargs="*", default=list(BENCHES))
+    args = parser.parse_args(argv)
+
+    if args.list:
+        print("\n".join(BENCHES))
+        return
+
+    if args.only:
+        result = BENCHES[args.only]()
+        result["value"] = round(result["value"], 3)
+        if result.get("vs_baseline") is not None:
+            result["vs_baseline"] = round(result["vs_baseline"], 3)
+        print(json.dumps(result))
+        return
+
+    # run each config in a fresh subprocess: isolated HBM arena + compile cache
+    results = []
+    for name in args.configs:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("PRISMA_BENCH_TIMEOUT", "3600")))
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and line:
+            result = json.loads(line[-1])
+            results.append(result)
+            print(json.dumps(result))
+        else:
+            print(json.dumps({"metric": name, "error":
+                              (proc.stderr or proc.stdout)[-400:]}))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCHMARKS.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -295,6 +295,42 @@ def _window_patch_lookup(vol, cx, cy, r: int):
     return win.reshape(cx.shape[0], n * n)            # x already slow axis
 
 
+def _window_onehot_lookup(vol, cx, cy, r: int, precision=None):
+    """Bilinear window lookup as two one-hot MXU matmuls (no gathers).
+
+    Same semantics as _window_patch_lookup. Instead of take_along_axis row
+    gathers (descriptor-bound on TPU), the (2r+2) patch rows are selected by
+    a [N, p, Hl] one-hot matmul against the volume and the x window by a
+    second [N, p, Wl] one-hot contraction — the volume streams through the
+    MXU sequentially at full HBM bandwidth. Out-of-bounds taps fall out as
+    exact zeros (their one-hot rows are all-zero), matching grid_sample
+    zero padding. Returns [N, (2r+1)^2], x-offset on the SLOW axis.
+    """
+    N, H, W = vol.shape
+    n = 2 * r + 1
+    p = n + 1
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[:, None, None]
+    fy = (cy - y0)[:, None, None]
+    xb = x0.astype(jnp.int32) - r
+    yb = y0.astype(jnp.int32) - r
+    ks = jnp.arange(p, dtype=jnp.int32)
+    yi = yb[:, None] + ks[None, :]                    # [N, p]
+    xi = xb[:, None] + ks[None, :]
+    oh_y = (yi[:, :, None] == jnp.arange(H)[None, None, :]).astype(vol.dtype)
+    rows = jnp.einsum("nkh,nhw->nkw", oh_y, vol, precision=precision)
+    oh_x = (xi[:, :, None] == jnp.arange(W)[None, None, :]).astype(vol.dtype)
+    patch = jnp.einsum("nyw,nxw->nxy", rows, oh_x, precision=precision)
+    fx = fx.astype(patch.dtype)
+    fy = fy.astype(patch.dtype)
+    win = ((1 - fx) * (1 - fy) * patch[:, :n, :n]
+           + fx * (1 - fy) * patch[:, 1:, :n]
+           + (1 - fx) * fy * patch[:, :n, 1:]
+           + fx * fy * patch[:, 1:, 1:])              # [N, n(x), n(y)]
+    return win.reshape(cx.shape[0], n * n)
+
+
 def corr_lookup_pallas(pyramid, coords, radius: int):
     """corr_lookup via the Pallas one-DMA-per-patch kernel.
 
@@ -311,7 +347,7 @@ def corr_lookup_pallas(pyramid, coords, radius: int):
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 
 
-def corr_lookup(pyramid, coords, radius: int):
+def corr_lookup(pyramid, coords, radius: int, onehot: bool = False):
     """coords [B, H1, W1, 2] (x, y) -> [B, H1, W1, levels*(2r+1)^2].
 
     Window-channel ordering matches the reference quirk (corr.py:37-43): the
@@ -323,8 +359,8 @@ def corr_lookup(pyramid, coords, radius: int):
     cy = coords[..., 1].reshape(B * H1 * W1)
     out = []
     for i, vol in enumerate(pyramid):
-        out.append(_window_patch_lookup(vol, cx / (2 ** i), cy / (2 ** i),
-                                        radius))
+        lookup = _window_onehot_lookup if onehot else _window_patch_lookup
+        out.append(lookup(vol, cx / (2 ** i), cy / (2 ** i), radius))
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 
 
@@ -407,9 +443,10 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     reference's test_mode outputs (raft.py:143-144).
 
     corr_impl: 'volume' (materialized [HW, HW] pyramid — one MXU matmul +
-    scalar gathers; the fast choice on TPU up to ~1080p x 0.75) or 'fused'
-    (alt_cuda_corr-equivalent on-the-fly computation; exact, O(HW) memory,
-    but per-tap feature gathers are slow on TPU — use when the volume OOMs).
+    row gathers), 'volume_onehot' (same pyramid, lookup as one-hot MXU
+    matmuls — no gather descriptors), or 'fused' (alt_cuda_corr-equivalent
+    on-the-fly computation; exact, O(HW) memory, but per-tap feature gathers
+    are slow on TPU — use when the volume OOMs).
     """
     iters = cfg.iters if iters is None else iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
@@ -449,7 +486,8 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
         elif corr_impl == "volume_pallas":
             corr = corr_lookup_pallas(pyramid, coords1, cfg.corr_radius)
         else:
-            corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+            corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
+                               onehot=corr_impl == "volume_onehot")
         flow = coords1 - coords0
         motion = _motion_encoder(params["update"]["encoder"],
                                  flow.astype(dtype), corr.astype(dtype),

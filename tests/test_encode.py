@@ -110,3 +110,17 @@ def test_mask_to_rgb():
     ours = np.asarray(enc.mask_to_rgb(m))
     theirs = ref.mask_to_rgb(m)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_process_flow_zero_flow_nan_pins_to_reference():
+    """The zero-flow last frame divides by max_distance == 0 exactly like the
+    reference (encode.py:119-120); NaN -> uint8 casting is implementation-
+    defined, so pin that XLA and numpy agree byte-for-byte (VERDICT weak #7)."""
+    import warnings
+    zero = np.zeros((6, 8, 2), np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # numpy 0/0 RuntimeWarning
+        ref_rgb, ref_max = ref.process_flow(zero.copy())
+    ours_rgb, ours_max = enc.process_flow(zero)
+    assert float(ours_max) == float(ref_max) == 0.0
+    np.testing.assert_array_equal(np.asarray(ours_rgb), ref_rgb)

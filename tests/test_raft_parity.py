@@ -134,3 +134,18 @@ def test_fused_corr_matches_volume():
     fused = np.asarray(jraft.corr_lookup_fused(f1, f2p, coords, 4,
                                                precision="highest"))
     np.testing.assert_allclose(fused, vol, atol=2e-4)
+
+
+def test_onehot_lookup_matches_gather_lookup():
+    """volume_onehot (one-hot MXU matmul) == volume (take_along_axis),
+    including out-of-bounds zero padding and the bilinear blend."""
+    import jax.numpy as jnp
+    from prisma_tpu.models.raft import (_window_onehot_lookup,
+                                        _window_patch_lookup)
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(64, 17, 23)).astype(np.float32))
+    cx = jnp.asarray(rng.uniform(-4, 27, 64).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-4, 21, 64).astype(np.float32))
+    a = _window_patch_lookup(vol, cx, cy, 4)
+    b = _window_onehot_lookup(vol, cx, cy, 4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
