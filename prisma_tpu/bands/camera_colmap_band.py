@@ -137,15 +137,19 @@ def run(input_path: str, output: str = "", subpath: str = "sparse",
     data = meta.load_metadata(input_path)
     folder = input_path if os.path.isdir(input_path) \
         else os.path.dirname(input_path)
+    resolved = None
     if data is not None:
         resolved = meta.get_url(input_path, data, "rgba")
-        meta.get_target(resolved, data, band=BAND, target=output,
-                        force_extension="csv")
         folder = os.path.dirname(resolved)
     csv_out = os.path.join(folder, BAND + ".csv")
 
     ok = run_reconstruction(folder, refine=refine, undistort=undistort,
                             subpath=subpath)
+    if ok and resolved is not None:
+        # register the band only once a sparse model exists, so a missing
+        # colmap binary leaves no dangling metadata entry
+        meta.get_target(resolved, data, band=BAND, target=output,
+                        force_extension="csv")
     if ok and os.path.isdir(os.path.join(folder, subpath)):
         images_dir = os.path.join(folder, "images")
         expected = len(os.listdir(images_dir)) if os.path.isdir(images_dir) \
