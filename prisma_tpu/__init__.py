@@ -19,3 +19,21 @@ Layering (TPU-first, contrast with the reference's subprocess-per-band design):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: this environment compiles TPU executables
+# locally (AOT libtpu) on a single CPU core — large programs take tens of
+# minutes — so caching compiled binaries across processes is essential.
+# Opt out with PRISMA_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if _os.environ.get("PRISMA_TPU_NO_COMPILE_CACHE", "0") != "1":
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/prisma_tpu_xla"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is best-effort; never block imports
+        pass

@@ -99,32 +99,80 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
     W, H, fps = reader.width, reader.height, reader.fps
     dh, dw = int(round(H * scale)), int(round(W * scale))
 
-    fwd_video = VideoWriter(W, H, fps, filename=io.output)
-    bwd_video = VideoWriter(W, H, fps, filename=out_base + "_bwd.mp4") \
-        if backwards else None
+    # frame-index resume (SURVEY §5): every output video is segmented; the
+    # resume point is the last segment boundary ALL of them completed, backed
+    # by a max-disp ledger fsynced before each boundary (depth_base pattern)
+    seg = getattr(runtime, "segment_frames", 0)
+    video_paths = [io.output]
+    if backwards:
+        video_paths.append(out_base + "_bwd.mp4")
+    if mask:
+        video_paths.append(os.path.join(io.output_folder, band + "_mask.mp4"))
+        if backwards:
+            video_paths.append(out_base + "_mask_bwd.mp4")
+
+    start = 0
+    max_disps: list[float] = []
+    ledger = None
+    if seg:
+        import shutil
+
+        from prisma_tpu.io.video import SegmentedVideoWriter
+        start = min(SegmentedVideoWriter.completed_frames(p, seg)
+                    for p in video_paths)
+        ledger_path = io.output + ".segments/values.csv"
+        if start:
+            rows = []
+            if os.path.exists(ledger_path):
+                rows = [r for r in open(ledger_path).read().splitlines() if r]
+            if len(rows) < start:
+                for p in video_paths:
+                    shutil.rmtree(p + ".segments", ignore_errors=True)
+                start = 0
+            else:
+                max_disps = [float(r) for r in rows[:start]]
+        os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
+        with open(ledger_path, "w") as f:
+            for v in max_disps:
+                f.write(f"{v!r}\n")
+        ledger = open(ledger_path, "a")
+
+        def make_writer(path):
+            return SegmentedVideoWriter(W, H, fps, filename=path,
+                                        segment_frames=seg, start_frame=start)
+    else:
+        def make_writer(path):
+            return VideoWriter(W, H, fps, filename=path)
+
+    fwd_video = make_writer(io.output)
+    bwd_video = make_writer(out_base + "_bwd.mp4") if backwards else None
     fwd_mask_video = bwd_mask_video = None
     if mask:
-        fwd_mask_video = VideoWriter(W, H, fps,
-                                     filename=os.path.join(io.output_folder,
-                                                           band + "_mask.mp4"))
+        fwd_mask_video = make_writer(os.path.join(io.output_folder,
+                                                  band + "_mask.mp4"))
         if backwards:
-            bwd_mask_video = VideoWriter(W, H, fps,
-                                         filename=out_base + "_mask_bwd.mp4")
+            bwd_mask_video = make_writer(out_base + "_mask_bwd.mp4")
 
     need_flow = bool(flo_dir) or backwards
     step = make_flow_step(params, infer_pairs, (dh, dw), mask, need_flow)
 
     pairs_per_batch = max(1, runtime.batch_size - 1)
-    max_disps: list[float] = []
-    idx = 0
+    idx = start
+    reader.skip(start)
 
     def emit(out, n_pairs):
         nonlocal idx
         fwd_rgb = np.asarray(out["fwd_rgb"])
         md = np.asarray(out["max_disp"])
         for b in range(n_pairs):
-            fwd_video.write(fwd_rgb[b])
             max_disps.append(float(md[b]))
+            if ledger is not None:
+                # ledger rows hit disk before the segment-closing write below
+                ledger.write(f"{max_disps[-1]!r}\n")
+                if (idx + 1) % seg == 0:
+                    ledger.flush()
+                    os.fsync(ledger.fileno())
+            fwd_video.write(fwd_rgb[b])
             if mask:
                 fm = np.asarray(out["fwd_mask"][b])
                 fwd_mask_video.write(np.stack([np.where(fm, 255, 0)] * 3,
@@ -172,6 +220,8 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
         if backwards:
             write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx), zero_flow)
 
+    if ledger is not None:
+        ledger.close()
     for v in (fwd_video, bwd_video, fwd_mask_video, bwd_mask_video):
         if v is not None:
             v.close()

@@ -87,3 +87,45 @@ def test_no_resume_when_disabled(tmp_path):
     io = _run(folder, rt)
     assert os.path.exists(io.output)
     assert not os.path.isdir(io.output + ".segments")
+
+
+def test_flow_band_resume_byte_identical(tmp_path, monkeypatch):
+    """Same criterion for flow bands: all segmented videos + max-disp ledger
+    resume at the common last complete segment."""
+    from prisma_tpu.bands import flow_base, flow_gmflow_band
+
+    rt = dict(random_weights=True, compute_dtype="float32", batch_size=2,
+              segment_frames=2)
+    golden = _make_folder(tmp_path / "golden", frames=7, w=48, h=32)
+    crashy = _make_folder(tmp_path / "crashy", frames=7, w=48, h=32)
+
+    flow_gmflow_band.run(golden, backwards=True, runtime=RuntimeConfig(**rt))
+
+    real = flow_base.make_flow_step
+    calls = {"n": 0}
+
+    def failing(*args, **kwargs):
+        step = real(*args, **kwargs)
+
+        def wrapped(frames):
+            if calls["n"] >= 3:
+                raise KeyboardInterrupt("simulated kill")
+            calls["n"] += 1
+            return step(frames)
+
+        return wrapped
+
+    monkeypatch.setattr(flow_base, "make_flow_step", failing)
+    with pytest.raises(KeyboardInterrupt):
+        flow_gmflow_band.run(crashy, backwards=True, runtime=RuntimeConfig(**rt))
+    monkeypatch.undo()
+    gc.collect()
+
+    assert os.path.isdir(os.path.join(crashy, "flow_gmflow.mp4.segments"))
+    flow_gmflow_band.run(crashy, backwards=True, runtime=RuntimeConfig(**rt))
+
+    gb = _folder_bytes(golden)
+    cb = _folder_bytes(crashy)
+    assert set(gb) == set(cb)
+    for name in gb:
+        assert gb[name] == cb[name], f"{name} differs after resume"
