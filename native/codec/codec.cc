@@ -19,10 +19,22 @@ extern "C" {
 }
 
 #include <cmath>
+#include <immintrin.h>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+
+// Normalize the SSE FP environment for encode calls: threads that previously
+// ran XLA/Eigen compute may carry FTZ/DAZ in MXCSR, and x264's float paths
+// (adaptive quant, mbtree) then produce different bitstreams for identical
+// input.  One ldmxcsr makes the encoder's numeric environment deterministic
+// regardless of which thread drives it.
+struct FpEnvGuard {
+  unsigned int saved;
+  FpEnvGuard() : saved(_mm_getcsr()) { _mm_setcsr(0x1f80); }
+  ~FpEnvGuard() { _mm_setcsr(saved); }
+};
 
 static thread_local std::string g_error;
 
@@ -177,12 +189,15 @@ static int reader_next(Reader* r) {
 // Decode the next frame into an RGB24 buffer of size height*width*3.
 // Returns 1 on success, 0 on EOF, <0 on error.
 extern "C" int pvc_read_frame(void* h, uint8_t* out) {
+  FpEnvGuard fp_guard;
   Reader* r = (Reader*)h;
   int rc = reader_next(r);
   if (rc != 1) return rc;
   r->sws = sws_getCachedContext(r->sws, r->frame->width, r->frame->height,
                                 (AVPixelFormat)r->frame->format, r->width, r->height,
-                                AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+                                AV_PIX_FMT_RGB24,
+                                SWS_BILINEAR | SWS_BITEXACT | SWS_ACCURATE_RND,
+                                nullptr, nullptr, nullptr);
   uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
   int dst_stride[4] = {r->width * 3, 0, 0, 0};
   sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->frame->height, dst, dst_stride);
@@ -361,6 +376,7 @@ static void fit_dims(int in_w, int in_h, int* out_w, int* out_h) {
 
 extern "C" void* pvc_open_writer(const char* path, int width, int height, double fps,
                                  int crf, const char* codec_name) {
+  FpEnvGuard fp_guard;
   Writer* w = new Writer();
   fit_dims(width, height, &w->width, &w->height);
 
@@ -450,8 +466,10 @@ static int drain(Writer* w, bool flush) {
   }
 }
 
+
 // fmt: 0 = gray8, 1 = rgb24, 2 = rgba, 3 = rgb48le (16-bit), 4 = gray16le
 extern "C" int pvc_write_frame(void* h, const uint8_t* data, int in_w, int in_h, int fmt) {
+  FpEnvGuard fp_guard;
   Writer* w = (Writer*)h;
   AVPixelFormat src_fmt;
   int bpp;
@@ -464,14 +482,34 @@ extern "C" int pvc_write_frame(void* h, const uint8_t* data, int in_w, int in_h,
     default: set_error("bad pixel format code"); return -1;
   }
   w->sws = sws_getCachedContext(w->sws, in_w, in_h, src_fmt, w->width, w->height,
-                                AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr, nullptr);
+                                AV_PIX_FMT_YUV420P,
+                                SWS_BILINEAR | SWS_BITEXACT | SWS_ACCURATE_RND,
+                                nullptr, nullptr, nullptr);
   const uint8_t* src[4] = {data, nullptr, nullptr, nullptr};
   int src_stride[4] = {in_w * bpp, 0, 0, 0};
   if (av_frame_make_writable(w->frame) < 0) {
     set_error("frame not writable");
     return -1;
   }
+  // make_writable reallocates (the encoder holds refs to queued frames); sws
+  // fills only the visible area, so zero the whole planes first — otherwise
+  // the encoder observes heap garbage in the row padding and identical inputs
+  // encode to different bitstreams depending on allocator state.
+  for (int p = 0; p < 3; p++) {
+    int ph = p ? (w->height + 1) / 2 : w->height;
+    memset(w->frame->data[p], p ? 128 : 0, (size_t)w->frame->linesize[p] * ph);
+  }
   sws_scale(w->sws, src, src_stride, 0, in_h, w->frame->data, w->frame->linesize);
+  if (getenv("PVC_DEBUG_CSUM")) {
+    unsigned long cs = 0;
+    for (int p = 0; p < 3; p++) {
+      int ph = p ? w->height / 2 : w->height, pw = p ? w->width / 2 : w->width;
+      for (int y = 0; y < ph; y++)
+        for (int x = 0; x < pw; x++)
+          cs = cs * 1315423911ul + w->frame->data[p][y * w->frame->linesize[p] + x];
+    }
+    fprintf(stderr, "[pvc] frame %lld yuv_csum %lx\n", (long long)w->next_pts, cs);
+  }
   w->frame->pts = w->next_pts++;
   return drain(w, false);
 }
@@ -484,6 +522,7 @@ extern "C" int pvc_writer_dims(void* h, int* width, int* height) {
 }
 
 extern "C" int pvc_close_writer(void* h) {
+  FpEnvGuard fp_guard;
   Writer* w = (Writer*)h;
   int rc = drain(w, true);
   if (rc == 0) {

@@ -112,11 +112,25 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
     if io.is_video():
         reader = VideoReader(io.input)
-        writer = VideoWriter(reader.width, reader.height, reader.fps,
-                             filename=io.output)
+        # frame-index resume (SURVEY §5): same segmented-writer scheme as the
+        # depth/flow bands; per-frame PNGs are idempotent so only the mp4
+        # needs the segment ledger
+        seg = getattr(runtime, "segment_frames", 0)
+        start = 0
+        if seg:
+            from prisma_tpu.io.video import SegmentedVideoWriter
+            start = SegmentedVideoWriter.completed_frames(io.output, seg)
+            writer = SegmentedVideoWriter(reader.width, reader.height,
+                                          reader.fps, filename=io.output,
+                                          segment_frames=seg,
+                                          start_frame=start)
+            reader.skip(start)
+        else:
+            writer = VideoWriter(reader.width, reader.height, reader.fps,
+                                 filename=io.output)
         step = _make_step(params, (reader.height, reader.width), cfg,
                           confidence, sdf)
-        idx = 0
+        idx = start
         for frames, valid in reader.batches(runtime.batch_size,
                                             pad_to_full=True):
             out = step(frames)

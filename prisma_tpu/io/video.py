@@ -228,15 +228,26 @@ class VideoWriter:
             raise IOError(f"encode error: {_last_error()}")
 
     def _drain(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            try:
-                self._encode(*item)
-            except Exception as e:
-                self._err = e
-                return
+        # The worker owns the native handle end-to-end: per-frame encodes AND
+        # the closing flush of all lookahead-buffered frames must run on one
+        # thread, or x264 emits a (slightly) different bitstream — observed as
+        # nondeterministic output when close() flushed from the main thread
+        # while encodes ran here.
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    break
+                if self._err is None:  # after an error, drain without encoding
+                    try:
+                        self._encode(*item)
+                    except Exception as e:
+                        self._err = e
+        finally:
+            rc = self._lib.pvc_close_writer(self._h)
+            self._h = None
+            if rc != 0 and self._err is None:
+                self._err = IOError(f"finalize error: {_last_error()}")
 
     def write(self, frame: np.ndarray, format: str | None = None):
         frame = np.asarray(frame)
@@ -251,13 +262,14 @@ class VideoWriter:
         if self._h:
             if self._q is not None:
                 self._q.put(None)
-                self._thread.join()
+                self._thread.join()  # worker flushes + closes the native handle
                 if self._err:
                     raise self._err
-            rc = self._lib.pvc_close_writer(self._h)
-            self._h = None
-            if rc != 0:
-                raise IOError(f"finalize error: {_last_error()}")
+            else:
+                rc = self._lib.pvc_close_writer(self._h)
+                self._h = None
+                if rc != 0:
+                    raise IOError(f"finalize error: {_last_error()}")
 
     def __del__(self):
         try:

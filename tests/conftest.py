@@ -9,6 +9,13 @@ jax.config.update is the reliable override (backends initialize lazily).
 import os
 import sys
 
+# The persistent XLA compilation cache (prisma_tpu/__init__.py) exists for the
+# tens-of-minutes TPU compiles. On XLA:CPU a cached AOT executable compiled
+# under different detected host features codegens differently from a fresh
+# compile (~1e-3 result drift, see the cpu_aot_loader machine-feature warning),
+# which breaks byte-identical golden tests — so tests always compile fresh.
+os.environ["PRISMA_TPU_NO_COMPILE_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

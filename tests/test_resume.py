@@ -37,7 +37,11 @@ def _folder_bytes(folder):
     return out
 
 
-def test_resume_byte_identical(tmp_path, monkeypatch):
+def test_resume_byte_identical(tmp_path):
+    # NB: a private MonkeyPatch instance — the function-scoped `monkeypatch`
+    # fixture is shared with the autouse small_model fixture, so .undo() on it
+    # would also drop PRISMA_DA_TARGET and change the model resolution mid-test
+    monkeypatch = pytest.MonkeyPatch()
     golden = _make_folder(tmp_path / "golden", frames=10, w=64, h=48)
     crashy = _make_folder(tmp_path / "crashy", frames=10, w=64, h=48)
 
@@ -89,9 +93,67 @@ def test_no_resume_when_disabled(tmp_path):
     assert not os.path.isdir(io.output + ".segments")
 
 
-def test_flow_band_resume_byte_identical(tmp_path, monkeypatch):
+def test_mask_band_resume_byte_identical(tmp_path, monkeypatch):
+    """Same criterion for the mask band (mp4 segments; PNGs are idempotent).
+
+    The test_scale shrink rides the fixture monkeypatch (active for the WHOLE
+    test — golden, crashy, and resume runs must all use the same budget); the
+    crash injector gets a private instance so undo() removes only it.
+    """
+    from prisma_tpu.bands import mask_band
+    from prisma_tpu.models import solov2
+
+    # orchestration under test, not SOLOv2 numerics: shrink the (1333, 800)
+    # budget so the CPU pass stays fast
+    real_scale = solov2.test_scale
+    monkeypatch.setattr(
+        solov2, "test_scale",
+        lambda h, w, long_edge=160, short_edge=96: real_scale(
+            h, w, long_edge, short_edge))
+    monkeypatch = pytest.MonkeyPatch()  # private: crash injector only
+
+    rt = dict(random_weights=True, compute_dtype="float32", batch_size=2,
+              segment_frames=2)
+    golden = _make_folder(tmp_path / "golden", frames=5, w=64, h=48)
+    crashy = _make_folder(tmp_path / "crashy", frames=5, w=64, h=48)
+
+    mask_band.run(golden, subpath="mask", runtime=RuntimeConfig(**rt))
+
+    real = mask_band._make_step
+    calls = {"n": 0}
+
+    def failing(*args, **kwargs):
+        step = real(*args, **kwargs)
+
+        def wrapped(frames):
+            if calls["n"] >= 1:
+                raise KeyboardInterrupt("simulated kill")
+            calls["n"] += 1
+            return step(frames)
+
+        return wrapped
+
+    monkeypatch.setattr(mask_band, "_make_step", failing)
+    with pytest.raises(KeyboardInterrupt):
+        mask_band.run(crashy, subpath="mask", runtime=RuntimeConfig(**rt))
+    monkeypatch.undo()
+    gc.collect()
+
+    assert os.path.isdir(os.path.join(crashy, "mask.mp4.segments"))
+    mask_band.run(crashy, subpath="mask", runtime=RuntimeConfig(**rt))
+    assert not os.path.isdir(os.path.join(crashy, "mask.mp4.segments"))
+
+    gb = _folder_bytes(golden)
+    cb = _folder_bytes(crashy)
+    assert set(gb) == set(cb)
+    for name in gb:
+        assert gb[name] == cb[name], f"{name} differs after resume"
+
+
+def test_flow_band_resume_byte_identical(tmp_path):
     """Same criterion for flow bands: all segmented videos + max-disp ledger
     resume at the common last complete segment."""
+    monkeypatch = pytest.MonkeyPatch()  # see note in test_resume_byte_identical
     from prisma_tpu.bands import flow_base, flow_gmflow_band
 
     rt = dict(random_weights=True, compute_dtype="float32", batch_size=2,
