@@ -96,11 +96,13 @@ def bench_flow_raft():
         jraft.init_params(jax.random.key(1)), jnp.bfloat16))
     h, w = 810, 1440  # 1080p x 0.75 (reference flow_raft.py:100,183)
     pairs = int(os.environ.get("PRISMA_BENCH_RAFT_PAIRS", "2"))
+    impl = os.environ.get("PRISMA_BENCH_RAFT_IMPL", "volume_onehot")
 
     @jax.jit
     def step(params, i1, i2):
-        fwd, bwd = jraft.infer_pairs(params, i1, i2, iters=20,
-                                     compute_dtype=jnp.bfloat16)
+        fwd, bwd = jraft.infer_pairs(params, i1.astype(jnp.bfloat16),
+                                     i2.astype(jnp.bfloat16), iters=20,
+                                     corr_impl=impl)
         return fwd, bwd
 
     rng = np.random.default_rng(0)

@@ -28,7 +28,7 @@ from prisma_tpu.runtime.config import RuntimeConfig
 
 
 def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
-                   need_flow: bool):
+                   need_flow: bool, dtype=None):
     """Wrap a model's infer_pairs into the fused band step (resize + HSV +
     consistency epilogues).
 
@@ -51,6 +51,8 @@ def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
     def step(params, frames_u8):
         frames = frames_u8.astype(jnp.float32)
         ds = resize2d(frames, (dh, dw), method="cubic")
+        if dtype is not None:
+            ds = ds.astype(dtype)
         img1, img2 = ds[:-1], ds[1:]
         fwd, bwd = infer_pairs(params, img1, img2)
         fwd = fwd.astype(jnp.float32)
@@ -153,8 +155,14 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
         if backwards:
             bwd_mask_video = make_writer(out_base + "_mask_bwd.mp4")
 
+    # production dtype: bf16 params + bf16 model inputs (MXU path); the
+    # HSV/consistency epilogues stay f32 (make_flow_step casts flows back)
+    dtype = runtime.resolve_dtype()
+    from prisma_tpu.weights.store import cast_params
+    params = cast_params(params, dtype)
     need_flow = bool(flo_dir) or backwards
-    step = make_flow_step(params, infer_pairs, (dh, dw), mask, need_flow)
+    step = make_flow_step(params, infer_pairs, (dh, dw), mask, need_flow,
+                          dtype=dtype)
 
     pairs_per_batch = max(1, runtime.batch_size - 1)
     idx = start

@@ -162,7 +162,10 @@ def _window_attention(q, k, v, h, w, ns: int, mask, precision=None):
     qw, kw, vw = to_win(q), to_win(k), to_win(v)
     scores = jnp.einsum("bnc,bmc->bnm", qw, kw, precision=precision) / (C ** 0.5)
     if shifted:
-        scores = scores + jnp.tile(jnp.asarray(mask), (B, 1, 1))
+        # cast the additive mask to the score dtype: an f32 mask would promote
+        # the whole transformer to f32 under bf16 params (and crash the
+        # upsampler conv on the dtype mismatch)
+        scores = scores + jnp.tile(jnp.asarray(mask, scores.dtype), (B, 1, 1))
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
     out = _merge_windows(out.reshape(B * ns * ns, h // ns, w // ns, C), ns)
