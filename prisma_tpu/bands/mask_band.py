@@ -39,8 +39,11 @@ CONFIDENCE_THRESHOLD = 0.5
 
 
 def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float,
-               sdf: bool):
+               sdf: bool, dtype=None):
     class_ids = jnp.asarray(CLASS_IDS)
+    if dtype is not None:
+        from prisma_tpu.weights.store import cast_params
+        params = cast_params(params, dtype)
 
     # multi-chip: replicate params, shard the frame batch over the data mesh
     from prisma_tpu.parallel import batch_sharding, data_mesh_or_none, \
@@ -54,7 +57,7 @@ def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float,
         params = jax.device_put(params)
 
     def one(params, frame_u8):
-        img, img_hw = solov2.preprocess(frame_u8[None])
+        img, img_hw = solov2.preprocess(frame_u8[None], dtype=dtype)
         out = solov2.forward(params, img, img_hw, ori_hw, cfg)
         keep = (out["valid"] & (out["scores"] > confidence)
                 & jnp.any(out["labels"][:, None] == class_ids[None, :], axis=1))
@@ -129,7 +132,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
             writer = VideoWriter(reader.width, reader.height, reader.fps,
                                  filename=io.output)
         step = _make_step(params, (reader.height, reader.width), cfg,
-                          confidence, sdf)
+                          confidence, sdf, dtype=runtime.resolve_dtype())
         idx = start
         for frames, valid in reader.batches(runtime.batch_size,
                                             pad_to_full=True):
@@ -146,7 +149,8 @@ def run(input_path: str, output: str = "", subpath: str = "",
         reader.close()
     else:
         frame = open_rgb(io.input)
-        step = _make_step(params, frame.shape[:2], cfg, confidence, sdf)
+        step = _make_step(params, frame.shape[:2], cfg, confidence, sdf,
+                          dtype=runtime.resolve_dtype())
         out = step(frame[None])
         green = np.asarray(out["green"])[0] if sdf else None
         _write_frame(_composite_to_rgb(np.asarray(out["composite"])[0]),

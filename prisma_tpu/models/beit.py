@@ -87,7 +87,9 @@ def _beit_attention(p, x, num_heads: int, rel_bias, precision=None):
     v = qkv[:, :, 2] + p["v_bias"].reshape(num_heads, head)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q * (head ** -0.5), k,
                       precision=precision)
-    attn = attn + rel_bias[None]  # [heads, N, N]
+    # cast at the joint: the interpolated bias table stays f32 for accuracy,
+    # but adding it raw would promote the whole stack to f32 under bf16 params
+    attn = attn + rel_bias[None].astype(attn.dtype)  # [heads, N, N]
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=precision)
     return pnn.linear(p["proj"], out.reshape(B, N, D), precision=precision)

@@ -321,8 +321,10 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     [N, 384, 512, 1]; iter_prior [N, 384, 512, 1] or None.
     Returns (tile depths [N, 384, 512], coarse_cache).
     """
-    mean = jnp.asarray((0.485, 0.456, 0.406))
-    std = jnp.asarray((0.229, 0.224, 0.225))
+    # normalize in the input dtype: f32 constants would promote a bf16 batch
+    # to f32 all the way through the BEiT core
+    mean = jnp.asarray((0.485, 0.456, 0.406), crops.dtype)
+    std = jnp.asarray((0.229, 0.224, 0.225), crops.dtype)
 
     if coarse_cache is None:
         coarse_depth, coarse_hooks = zoedepth_custom_forward(

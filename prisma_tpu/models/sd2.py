@@ -170,6 +170,11 @@ def unet_forward(params, x, t, context, cfg: UNetConfig = UNetConfig(),
         heads = cfg.block_channels[ch_i] // cfg.head_dim
         for li in range(cfg.layers_per_block + 1):
             skip = skips.pop()
+            if h.shape[1:3] != skip.shape[1:3]:
+                # odd latent dims (e.g. 27 -> down 14 -> up 28): diffusers
+                # upsamples to the skip's size; cropping the nearest-2x result
+                # selects the same nearest-neighbor rows for size 2n-1
+                h = h[:, :skip.shape[1], :skip.shape[2], :]
             h = jnp.concatenate([h, skip], axis=-1)
             h = resnet_block(block["resnets"][li], h, temb, cfg.norm_groups,
                              precision)

@@ -309,12 +309,18 @@ def test_scale(ori_h: int, ori_w: int, long_edge: int = 1333,
     return int(ori_h * factor + 0.5), int(ori_w * factor + 0.5)
 
 
-def preprocess(frame_u8, precision=None):
-    """[1, H, W, 3] uint8 RGB -> (normalized padded image, (h, w) resized)."""
+def preprocess(frame_u8, precision=None, dtype=None):
+    """[1, H, W, 3] uint8 RGB -> (normalized padded image, (h, w) resized).
+
+    dtype: model compute dtype — resize+normalize stay f32 for accuracy, then
+    the image casts down (bf16 on the production path) to match the params.
+    """
     H, W = frame_u8.shape[1:3]
     h, w = test_scale(H, W)
     img = resize2d(frame_u8.astype(jnp.float32), (h, w), method="linear")
     img = (img - jnp.asarray(IMG_MEAN)) / jnp.asarray(IMG_STD)
+    if dtype is not None:
+        img = img.astype(dtype)
     ph = -h % 32
     pw = -w % 32
     img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
