@@ -46,6 +46,11 @@ class GMFlowConfig:
     # (O(HW*chunk) memory, any resolution); "dense" materializes [B, HW, HW]
     matching: str = "blockwise"
     key_chunk: int = 2048
+    # swin window attention: "auto" = Pallas flash kernel on TPU for windows
+    # >= 16384 tokens (where the dense [B, win, win] scores no longer fit —
+    # ~4K inputs); dense XLA otherwise (measured equal at 1080p: 136 ms/step
+    # both ways). "flash"/"xla" force.
+    attn_impl: str = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -130,28 +135,39 @@ def add_position(feature0, feature1, attn_splits: int):
 # Transformer (swin-style single-head self/cross attention)
 # ---------------------------------------------------------------------------
 
-def shift_window_attn_mask(h: int, w: int, ns: int) -> np.ndarray:
-    """[ns*ns, win, win] additive mask for the shifted-window layers."""
+def shift_window_region_ids(h: int, w: int, ns: int) -> np.ndarray:
+    """[ns*ns, win] int region labels for the shifted-window layers: tokens
+    from different pre-shift regions must not attend to each other."""
     wh, ww = h // ns, w // ns
     sh, sw = wh // 2, ww // 2
-    img = np.zeros((h, w), np.float32)
+    img = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, -wh), slice(-wh, -sh), slice(-sh, None)):
         for ws in (slice(0, -ww), slice(-ww, -sw), slice(-sw, None)):
             img[hs, ws] = cnt
             cnt += 1
-    win = img.reshape(ns, wh, ns, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    return img.reshape(ns, wh, ns, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+
+
+def shift_window_attn_mask(h: int, w: int, ns: int) -> np.ndarray:
+    """[ns*ns, win, win] additive mask (dense-attention path)."""
+    win = shift_window_region_ids(h, w, ns)
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-def _window_attention(q, k, v, h, w, ns: int, mask, precision=None):
+def _window_attention(q, k, v, h, w, ns: int, ids, precision=None,
+                      impl: str = "xla"):
     """Single-head attention in (optionally shifted) ns x ns windows.
 
-    q/k/v: [B, L, C]; mask: [ns*ns, win, win] or None (None => no shift).
+    q/k/v: [B, L, C]; ids: [ns*ns, win] region labels or None (None => no
+    shift). impl="flash" streams key blocks through VMEM (Pallas) instead of
+    materializing the [B*ns*ns, win, win] scores in HBM — the win on the
+    production 0.75x-1080p path is 4680 tokens, where the score matrices are
+    the HBM bottleneck of the XLA path.
     """
     B, L, C = q.shape
-    shifted = mask is not None
+    shifted = ids is not None
 
     def to_win(t):
         t = t.reshape(B, h, w, C)
@@ -160,14 +176,24 @@ def _window_attention(q, k, v, h, w, ns: int, mask, precision=None):
         return _split_windows(t, ns).reshape(B * ns * ns, -1, C)
 
     qw, kw, vw = to_win(q), to_win(k), to_win(v)
-    scores = jnp.einsum("bnc,bmc->bnm", qw, kw, precision=precision) / (C ** 0.5)
-    if shifted:
-        # cast the additive mask to the score dtype: an f32 mask would promote
-        # the whole transformer to f32 under bf16 params (and crash the
-        # upsampler conv on the dtype mismatch)
-        scores = scores + jnp.tile(jnp.asarray(mask, scores.dtype), (B, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
+    if impl == "flash":
+        from prisma_tpu.ops.pallas.flash_attention import flash_attention
+        idst = None
+        if shifted:
+            idst = jnp.tile(jnp.asarray(ids, jnp.int32), (B, 1))
+        out = flash_attention(qw, kw, vw, ids=idst)
+    else:
+        scores = jnp.einsum("bnc,bmc->bnm", qw, kw,
+                            precision=precision) / (C ** 0.5)
+        if shifted:
+            # additive mask cast to the score dtype: an f32 mask would promote
+            # the whole transformer to f32 under bf16 params
+            diff = ids[:, None, :] - ids[:, :, None]
+            mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+            scores = scores + jnp.tile(jnp.asarray(mask, scores.dtype),
+                                       (B, 1, 1))
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
     out = _merge_windows(out.reshape(B * ns * ns, h // ns, w // ns, C), ns)
     if shifted:
         out = jnp.roll(out, (h // ns // 2, w // ns // 2), axis=(1, 2))
@@ -187,13 +213,13 @@ def _layer_norm(p, x, eps=1e-5):
     return ((x - mu) * jax.lax.rsqrt(var + eps)) * p["scale"] + p["bias"]
 
 
-def _transformer_layer(p, source, target, h, w, ns, mask, no_ffn,
-                       precision=None):
+def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
+                       precision=None, impl: str = "xla"):
     q = pnn.linear(p["q"], source, precision=precision)
     k = pnn.linear(p["k"], target, precision=precision)
     v = pnn.linear(p["v"], target, precision=precision)
     if ns > 1:
-        message = _window_attention(q, k, v, h, w, ns, mask, precision)
+        message = _window_attention(q, k, v, h, w, ns, ids, precision, impl)
     else:
         message = _full_attention(q, k, v, precision)
     message = _layer_norm(p["norm1"], pnn.linear(p["merge"], message,
@@ -208,22 +234,33 @@ def _transformer_layer(p, source, target, h, w, ns, mask, no_ffn,
 
 
 def transformer_forward(params, feature0, feature1, attn_splits: int,
-                        precision=None):
-    """6 blocks of (windowed self-attn, cross-attn+ffn) over doubled batch."""
+                        precision=None, attn_impl: str = "auto"):
+    """6 blocks of (windowed self-attn, cross-attn+ffn) over doubled batch.
+
+    attn_impl: "auto" picks the Pallas flash kernel on TPU for windows of
+    >=2048 tokens (HBM-bound XLA score matrices), else the dense XLA path.
+    """
     B, H, W, C = feature0.shape
     f0 = feature0.reshape(B, H * W, C)
     f1 = feature1.reshape(B, H * W, C)
-    mask = shift_window_attn_mask(H, W, attn_splits) if attn_splits > 1 else None
+    ids = shift_window_region_ids(H, W, attn_splits) if attn_splits > 1 \
+        else None
+    if attn_impl == "auto":
+        win_tokens = (H // attn_splits) * (W // attn_splits)
+        attn_impl = "flash" if (jax.default_backend() == "tpu"
+                                and win_tokens >= 16384) else "xla"
 
     concat0 = jnp.concatenate([f0, f1], axis=0)
     concat1 = jnp.concatenate([f1, f0], axis=0)
     for i, bp in enumerate(params["layers"]):
         shifted = i % 2 == 1
-        m = mask if (shifted and attn_splits > 1) else None
+        m = ids if (shifted and attn_splits > 1) else None
         concat0 = _transformer_layer(bp["self"], concat0, concat0, H, W,
-                                     attn_splits, m, True, precision)
+                                     attn_splits, m, True, precision,
+                                     attn_impl)
         concat0 = _transformer_layer(bp["cross"], concat0, concat1, H, W,
-                                     attn_splits, m, False, precision)
+                                     attn_splits, m, False, precision,
+                                     attn_impl)
         half = concat0.shape[0] // 2
         concat1 = jnp.concatenate([concat0[half:], concat0[:half]], axis=0)
     half = concat0.shape[0] // 2
@@ -370,7 +407,8 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
     feature0, feature1 = feats[:B], feats[B:]
     feature0, feature1 = add_position(feature0, feature1, cfg.attn_splits)
     feature0, feature1 = transformer_forward(params["transformer"], feature0,
-                                             feature1, cfg.attn_splits, precision)
+                                             feature1, cfg.attn_splits,
+                                             precision, cfg.attn_impl)
     blockwise = cfg.matching == "blockwise"
     if blockwise:
         flow = global_correlation_softmax_blockwise(

@@ -119,8 +119,9 @@ def _swin_block(p, x, H, W, num_heads, ws, shift, mask, precision=None):
     attn = attn + rel.transpose(2, 0, 1)[None]
     if mask is not None:
         nW = mask.shape[0]
+        # mask cast to the score dtype (f32 would promote the stack under bf16)
         attn = attn.reshape(Bw // nW, nW, num_heads, N, N) \
-            + jnp.asarray(mask)[None, :, None]
+            + jnp.asarray(mask, attn.dtype)[None, :, None]
         attn = attn.reshape(Bw, num_heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=precision)
@@ -217,7 +218,8 @@ def unet_v1(p, input_tensor, guide_cat, coarse_feat_whole, crop_area_resize,
         return roi_align(g, bbox, jnp.arange(N, dtype=jnp.int32), out_hw,
                          spatial_scale=out_hw[0] / model_hw[0],
                          sampling_ratio=max(1, int(round(model_hw[0]
-                                                         / out_hw[0]))))
+                                                         / out_hw[0])))
+                         ).astype(g.dtype)  # roi_align interpolates in f32
 
     lv = level_hw(model_hw)
     # level ordering in the param lists: index 0 -> g2l5 spec (12x16) ... 5 -> g2l0
@@ -264,24 +266,31 @@ def zoedepth_custom_forward(params, x, cfg: jzoe.ZoeDepthConfig = PF_CONFIG,
     hooks["x_d0"] = btlnck
     hooks["midas_final_feat"] = core_feats["out_conv"]
 
-    hp = params["head"]
-    b_prev, _ = jzoe.seed_bin_regressor(hp["seed_bin_regressor"], btlnck, cfg,
-                                        precision)
-    prev_emb = jzoe._mlp2(hp["seed_projector"], btlnck, None, precision)
+    # bins math always in f32 (log-binomial/attractors underflow in bf16);
+    # the exposed hooks stay in the compute dtype for the bf16 tile projections
+    f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
+    hp = jax.tree.map(
+        lambda l: l.astype(jnp.float32)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        else l, params["head"])
+    b_prev, _ = jzoe.seed_bin_regressor(hp["seed_bin_regressor"], f32(btlnck),
+                                        cfg, precision)
+    prev_emb = jzoe._mlp2(hp["seed_projector"], f32(btlnck), None, precision)
     b_centers = None
     b_embedding = prev_emb
     for i, feat_name in enumerate(("r4", "r3", "r2", "r1")):
         feat = core_feats[feat_name]
         hooks[f"x_blocks_feat_{i}"] = feat
-        b_embedding = jzoe._mlp2(hp["projectors"][i], feat, None, precision)
+        b_embedding = jzoe._mlp2(hp["projectors"][i], f32(feat), None,
+                                 precision)
         b_prev, b_centers = jzoe.attractor_layer(hp["attractors"][i],
                                                  b_embedding, b_prev, prev_emb,
                                                  cfg, precision)
         prev_emb = b_embedding
 
-    last = core_feats["out_conv"]
-    rel_cond = resize2d(rel_depth[..., None], last.shape[1:3], method="linear",
-                        align_corners=True)
+    last = f32(core_feats["out_conv"])
+    rel_cond = resize2d(f32(rel_depth)[..., None], last.shape[1:3],
+                        method="linear", align_corners=True)
     last = jnp.concatenate([last, rel_cond], axis=-1)
     b_embedding = resize2d(b_embedding, last.shape[1:3], method="linear",
                            align_corners=True)
@@ -347,16 +356,20 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     lv = level_hw(model_hw)
     hh, hw_ = hr_hw(model_hw)
     zeros_idx = jnp.zeros((N,), jnp.int32)
+    # roi_align interpolates in f32; cast back so the bf16 fusion convs and
+    # UNet below don't see mixed dtypes
     coarse_roi = [
         roi_align(coarse_feats[i], bbox_roi, zeros_idx, lv[i],
                   spatial_scale=lv[i][0] / model_hw[0],
                   sampling_ratio=max(1, int(round(model_hw[0] / lv[i][0]))))
+        .astype(coarse_feats[i].dtype)
         for i in range(6)
     ]
     bbox_hack = bbox_roi * jnp.asarray([hw_ / model_hw[1], hh / model_hw[0],
                                         hw_ / model_hw[1], hh / model_hw[0]])
     whole_depth_roi = roi_align(coarse_depth_hr, bbox_hack, zeros_idx,
-                                model_hw, spatial_scale=1.0, sampling_ratio=5)
+                                model_hw, spatial_scale=1.0,
+                                sampling_ratio=5).astype(crops.dtype)
 
     guide_cat = [
         pnn.conv2d(params["fusion_conv"][i],
@@ -366,10 +379,12 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     ]
 
     prior = iter_prior if iter_prior is not None else fine_depth[..., None]
-    input_tensor = jnp.concatenate([whole_depth_roi, prior, crops], axis=-1)
+    input_tensor = jnp.concatenate([whole_depth_roi,
+                                    prior.astype(crops.dtype), crops], axis=-1)
 
     crop_area_resize = [
-        resize2d(crop_areas, hw2, method="linear", align_corners=True)
+        resize2d(crop_areas, hw2, method="linear",
+                 align_corners=True).astype(crops.dtype)
         for hw2 in lv
     ]
 
@@ -379,21 +394,26 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     x = output[0]
     x_blocks = output[1:]
 
-    hp = params["head"]
-    b_prev, _ = jzoe.seed_bin_regressor(hp["seed_bin_regressor"], x, cfg,
+    # bins math in f32, same rationale as zoedepth_custom_forward above
+    f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
+    hp = jax.tree.map(
+        lambda l: l.astype(jnp.float32)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        else l, params["head"])
+    b_prev, _ = jzoe.seed_bin_regressor(hp["seed_bin_regressor"], f32(x), cfg,
                                         precision)
-    prev_emb = jzoe._mlp2(hp["seed_projector"], x, None, precision)
+    prev_emb = jzoe._mlp2(hp["seed_projector"], f32(x), None, precision)
     b_centers = None
     b_embedding = prev_emb
     for i in range(4):
-        b_embedding = jzoe._mlp2(hp["projectors"][i], x_blocks[i], None,
+        b_embedding = jzoe._mlp2(hp["projectors"][i], f32(x_blocks[i]), None,
                                  precision)
         b_prev, b_centers = jzoe.attractor_layer(hp["attractors"][i],
                                                  b_embedding, b_prev, prev_emb,
                                                  cfg, precision)
         prev_emb = b_embedding
 
-    last = x_blocks[-1]  # 32ch, 384x512
+    last = f32(x_blocks[-1])  # 32ch, 384x512
     rel_cond = jnp.zeros(last.shape[:3] + (1,), last.dtype)  # reference quirk
     last = jnp.concatenate([last, rel_cond], axis=-1)
     b_embedding = resize2d(b_embedding, last.shape[1:3], method="linear",

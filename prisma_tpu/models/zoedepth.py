@@ -152,7 +152,15 @@ def bins_head(params, rel_depth, core_feats, cfg: ZoeDepthConfig = ZoeDepthConfi
 
     core_feats: dict with out_conv [B,.,.,32], l4_rn, r4, r3, r2, r1 (NHWC).
     Returns metric depth [B, H', W'] at the out_conv resolution.
+
+    The bins head ALWAYS runs in f32 (log-binomial/attractor math underflows
+    in bf16); callers pass f32 features and the params are cast here so a
+    bf16-cast checkpoint still works.
     """
+    params = jax.tree.map(
+        lambda l: l.astype(jnp.float32)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        else l, params)
     btlnck = pnn.conv2d(params["conv2"], core_feats["l4_rn"], precision=precision)
     b_prev, _seed_centers = seed_bin_regressor(params["seed_bin_regressor"],
                                                btlnck, cfg, precision)

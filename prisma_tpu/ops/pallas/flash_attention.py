@@ -1,13 +1,30 @@
-"""Flash attention Pallas kernel for ViT/UNet sequence lengths.
+"""Flash attention Pallas kernel for ViT/UNet/flow-transformer sequences.
 
 TPU-native replacement for the reference's xformers memory-efficient attention
 (SURVEY.md §2.9 #7: `dinov2/layers/attention.py:21,65-66`, Marigold's
 enable_xformers): online-softmax attention computed block-by-block in VMEM, so
 the [N, N] score matrix never materializes in HBM.
 
-Targets the pipeline's shapes: N ~ 1.4k-2.5k tokens (518-1080p ViT grids),
-head_dim 64-128, batch = frames x heads. Accumulation is f32 regardless of
-input dtype. Falls back to the XLA path for shapes that don't tile.
+Targets the pipeline's long sequences — GMFlow's 2x2 window attention at the
+0.75-scaled 1080p default is 4680 tokens/window, where the materialized
+[B, N, N] scores are the HBM-bandwidth bottleneck of the XLA path. Ragged N is
+handled by padding to the block size and masking padded KEY columns inside the
+kernel (padded QUERY rows are computed and sliced off).
+
+The optional `ids` argument reproduces GMFlow's shifted-window region bias
+(`models/gmflow.py shift_window_region_ids`): tokens from different regions
+attend with an additive -100. Rather than streaming an [N, N] mask (or int
+rows, which Mosaic's (8, 128) tiling rejects as 1-wide blocks), the bias is
+folded into the score MATMUL itself: a 128-lane one-hot region encoding is
+appended to q (scaled) and k, so
+
+    [q | lam*onehot(id_q)] . [k | onehot(id_k)]^T = q.k + lam*[id_q == id_k]
+
+which equals the masked score up to a softmax-invariant constant (-100 on
+every column vs +100 on same-region columns). The kernel stays bias-free and
+perfectly (8, 128)-tiled.
+
+Accumulation is f32 regardless of input dtype.
 """
 
 from __future__ import annotations
@@ -22,18 +39,26 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
+_NEG = -1e9  # score for padded keys
+_REGION_PENALTY = 100.0  # |gmflow shift-window bias|; sign folded via +same
+_ID_LANES = 128  # one-hot width (region ids must be < 128); one MXU lane tile
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
-                  scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, d]
+                  n_valid: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, dqk]
     bq = q.shape[0]
-    d = q.shape[1]
+    dv = v_ref.shape[-1]
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        if n_valid < n_kv:  # mask padded key columns
+            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                         (bq, block_k), 1)
+            s = jnp.where(col < n_valid, s, _NEG)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -42,60 +67,79 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    acc = jnp.zeros((bq, dv), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, _m, l = jax.lax.fori_loop(0, n_kv // block_k, body, (acc, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
+def _pad_axis1(x, n, fill=0):
+    pad = n - x.shape[1]
+    if pad == 0:
+        return x
+    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, ids=None, block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K, interpret: bool = False):
-    """q/k/v [B, N, d] (B folds batch x heads) -> [B, N, d].
+    """q/k/v [B, N, d] (B folds batch x heads x windows) -> [B, N, d].
 
-    N is padded internally to the block sizes; padded keys contribute
-    exp(-inf-ish) mass via explicit masking of the padded queries only (padded
-    KEYS are masked by padding K with -inf scores through a large negative
-    bias on the padded rows of K itself being zeros — instead we pad K/V with
-    zeros and rely on query-side truncation, so N must be padded on both sides
-    consistently; see below).
+    N is padded to the block sizes internally: padded KEY columns score -1e9
+    (zero softmax mass), padded QUERY rows are sliced off the output.
+
+    ids: optional [B, N] int region labels (< 128); tokens with different
+    labels attend with an additive -100 bias (GMFlow's shifted-window mask),
+    folded into the score matmul via a one-hot channel block (see module
+    docstring).
     """
     B, N, d = q.shape
-    scale = d ** -0.5
+    scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
-    nq = -(-N // block_q) * block_q
-    nk = -(-N // block_k) * block_k
-    if nq != N or nk != N:
-        # pad keys with a token whose score is -inf: implemented by padding q
-        # normally and masking via a huge negative key bias channel is overkill
-        # for our shapes — simply fall back to XLA for ragged N.
-        return _xla_attention(q, k, v, scale)
+    if ids is not None:
+        # one-hot(id) appended: q gets lam/scale so the kernel's global scale
+        # leaves a +lam bias on same-region pairs (softmax-equivalent to the
+        # reference's -100 on different-region pairs)
+        oh = jax.nn.one_hot(ids, _ID_LANES, dtype=q.dtype)  # [B, N, 128]
+        q = jnp.concatenate([q, oh * (_REGION_PENALTY / scale)], axis=-1)
+        k = jnp.concatenate([k, oh], axis=-1)
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, n_kv=N,
-                               scale=scale)
+    dqk = q.shape[-1]
+    npad = -(-N // max(block_q, block_k)) * max(block_q, block_k)
+    qp = _pad_axis1(q, npad)
+    kp = _pad_axis1(k, npad)
+    vp = _pad_axis1(v, npad)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, n_kv=npad,
+                               n_valid=N, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(B, N // block_q),
+        grid=(B, npad // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, npad, dqk), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, npad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, npad, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    return out
+    )(qp, kp, vp)
+    return out[:, :N]
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, ids=None):
     s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
                    k.astype(jnp.float32))
+    if ids is not None:
+        s = s + jnp.where(ids[:, :, None] == ids[:, None, :], 0.0,
+                          -_REGION_PENALTY)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bnm,bmd->bnd", p,
                       v.astype(jnp.float32)).astype(q.dtype)

@@ -18,9 +18,53 @@ def test_flash_matches_reference():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
-def test_ragged_falls_back():
+def test_ragged_n_padded_and_masked():
+    """N not a multiple of the block: padded keys must carry zero softmax
+    mass and padded query rows are sliced off."""
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(2, 100, 32)).astype(np.float32))
     out = flash_attention(q, q, q, block_q=128, block_k=128, interpret=True)
     ref = _xla_attention(q, q, q, 32 ** -0.5)
+    assert out.shape == (2, 100, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_region_ids_mask():
+    """The ids argument reproduces the shifted-window -100 additive bias."""
+    rng = np.random.default_rng(2)
+    B, N, d = 2, 300, 64
+    q = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 4, size=(B, N)).astype(np.int32))
+    ours = flash_attention(q, k, v, ids=ids, block_q=128, block_k=128,
+                           interpret=True)
+    ref = _xla_attention(q, k, v, d ** -0.5, ids=ids)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_gmflow_window_attention_flash_matches_xla():
+    """GMFlow's windowed attention: flash vs dense XLA path, with the
+    shifted-window region mask engaged."""
+    from prisma_tpu.models.gmflow import (_window_attention,
+                                          shift_window_region_ids)
+    rng = np.random.default_rng(3)
+    B, h, w, C, ns = 2, 20, 24, 32, 2
+    L = h * w
+    q = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    ids = shift_window_region_ids(h, w, ns)
+
+    import unittest.mock as mock
+    from prisma_tpu.ops.pallas import flash_attention as fa
+    real = fa.flash_attention
+
+    def interp(qq, kk, vv, ids=None, **kw):
+        return real(qq, kk, vv, ids=ids, block_q=128, block_k=128,
+                    interpret=True)
+
+    with mock.patch.object(fa, "flash_attention", interp):
+        ours = _window_attention(q, k, v, h, w, ns, ids, impl="flash")
+    ref = _window_attention(q, k, v, h, w, ns, ids, impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
