@@ -218,7 +218,8 @@ def unet_v1(p, input_tensor, guide_cat, coarse_feat_whole, crop_area_resize,
         return roi_align(g, bbox, jnp.arange(N, dtype=jnp.int32), out_hw,
                          spatial_scale=out_hw[0] / model_hw[0],
                          sampling_ratio=max(1, int(round(model_hw[0]
-                                                         / out_hw[0])))
+                                                         / out_hw[0]))),
+                         roi_chunk=4 if out_hw[0] >= 96 else None
                          ).astype(g.dtype)  # roi_align interpolates in f32
 
     lv = level_hw(model_hw)
@@ -369,7 +370,8 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
                                         hw_ / model_hw[1], hh / model_hw[0]])
     whole_depth_roi = roi_align(coarse_depth_hr, bbox_hack, zeros_idx,
                                 model_hw, spatial_scale=1.0,
-                                sampling_ratio=5).astype(crops.dtype)
+                                sampling_ratio=5,
+                                roi_chunk=2).astype(crops.dtype)
 
     guide_cat = [
         pnn.conv2d(params["fusion_conv"][i],

@@ -15,16 +15,34 @@ tile geometry (PatchFusion's tiles have fixed sizes per mode).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, box_indices,
               output_size: tuple[int, int], spatial_scale: float = 1.0,
-              sampling_ratio: int = 2, aligned: bool = True) -> jnp.ndarray:
+              sampling_ratio: int = 2, aligned: bool = True,
+              roi_chunk: int | None = None) -> jnp.ndarray:
     """features [B, H, W, C]; boxes [N, 4] as (x1, y1, x2, y2); box_indices [N].
 
     Returns [N, ph, pw, C].
+
+    roi_chunk: process ROIs in groups of this size via lax.map — the separable
+    gather materializes [N, ph*sr, W, C] row intermediates, which for large
+    source maps (PatchFusion's 2160x3840 coarse depth) exceeds HBM when all
+    ROIs go in one shot; chunking bounds the peak at [chunk, ph*sr, W, C].
     """
+    if roi_chunk and boxes.shape[0] > roi_chunk:
+        N = boxes.shape[0]
+        pad = (-N) % roi_chunk
+        b = jnp.pad(boxes.astype(jnp.float32), ((0, pad), (0, 0)))
+        bi = jnp.pad(jnp.asarray(box_indices, jnp.int32), (0, pad))
+        G = (N + pad) // roi_chunk
+        out = jax.lax.map(
+            lambda args: roi_align(features, args[0], args[1], output_size,
+                                   spatial_scale, sampling_ratio, aligned),
+            (b.reshape(G, roi_chunk, 4), bi.reshape(G, roi_chunk)))
+        return out.reshape((G * roi_chunk,) + out.shape[2:])[:N]
     ph, pw = output_size
     sr = max(int(sampling_ratio), 1)
     offset = 0.5 if aligned else 0.0

@@ -56,3 +56,18 @@ def test_matches_reference_random_rois():
     for n in range(3):
         expected = ref_roi_align(feat[idx[n]], boxes[n], (4, 6), 0.5, 2)
         np.testing.assert_allclose(out[n], expected, atol=1e-5)
+
+
+def test_roi_chunked_matches_unchunked():
+    import numpy as np
+    import jax.numpy as jnp
+    from prisma_tpu.ops.roi_align import roi_align
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(2, 40, 56, 3)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(2, 30, size=(7, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 10)
+    idx = jnp.asarray(rng.integers(0, 2, size=(7,)).astype(np.int32))
+    a = roi_align(feats, boxes, idx, (8, 8), sampling_ratio=2)
+    b = roi_align(feats, boxes, idx, (8, 8), sampling_ratio=2, roi_chunk=3)
+    # lax.map recompiles the body: XLA reassociation gives ~4e-6 drift
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
