@@ -21,6 +21,7 @@ is an on-device scatter-add of masked tile maps.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -320,6 +321,26 @@ def _proj6(plist, hooks, precision=None):
     ]
 
 
+def coarse_pass(params, img_lr, cfg: jzoe.ZoeDepthConfig = PF_CONFIG,
+                model_hw=MODEL_HW, precision=None):
+    """Whole-image coarse pass, shared by every tile batch: ZoeDepthCustom on
+    the low-res image + the 6 coarse input projections + the HR depth map.
+    Jitted separately from the tile pass so the per-image compile units stay
+    small enough for the remote TPU compiler."""
+    mean = jnp.asarray((0.485, 0.456, 0.406), img_lr.dtype)
+    std = jnp.asarray((0.229, 0.224, 0.225), img_lr.dtype)
+    coarse_depth, coarse_hooks = zoedepth_custom_forward(
+        params["coarse"], (img_lr - mean) / std, cfg, precision)
+    coarse_feats = _proj6(params["coarse_input_proj"], coarse_hooks,
+                          precision)
+    # reference upsamples coarse depth to (2160, 3840) before the roi
+    # (patchfusion.py:384-433); roi_align on the model-res map with the
+    # equivalent scale is identical up to that fixed bilinear resample
+    coarse_depth_hr = resize2d(coarse_depth[..., None], hr_hw(model_hw),
+                               method="linear", align_corners=True)
+    return coarse_feats, coarse_depth_hr
+
+
 def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
                       iter_prior=None, coarse_cache=None,
                       cfg: jzoe.ZoeDepthConfig = PF_CONFIG,
@@ -337,16 +358,7 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     std = jnp.asarray((0.229, 0.224, 0.225), crops.dtype)
 
     if coarse_cache is None:
-        coarse_depth, coarse_hooks = zoedepth_custom_forward(
-            params["coarse"], (img_lr - mean) / std, cfg, precision)
-        coarse_feats = _proj6(params["coarse_input_proj"], coarse_hooks,
-                              precision)
-        # reference upsamples coarse depth to (2160, 3840) before the roi
-        # (patchfusion.py:384-433); roi_align on the model-res map with the
-        # equivalent scale is identical up to that fixed bilinear resample
-        coarse_depth_hr = resize2d(coarse_depth[..., None], hr_hw(model_hw),
-                                   method="linear", align_corners=True)
-        coarse_cache = (coarse_feats, coarse_depth_hr)
+        coarse_cache = coarse_pass(params, img_lr, cfg, model_hw, precision)
     coarse_feats, coarse_depth_hr = coarse_cache
 
     N = crops.shape[0]
@@ -463,8 +475,15 @@ def _tile_grid(resolution, crop, off_x, off_y):
 
 @functools.lru_cache(maxsize=None)
 def _tile_runner(compute_dtype, model_hw, precision):
-    """Jitted batched tile pass, cached by static config so video drivers do
-    not re-trace per frame."""
+    """Jitted coarse + tile passes, cached by static config so video drivers
+    do not re-trace per frame. Two separate compile units: the whole-image
+    coarse pass runs once per image; each fixed-size tile sub-batch then runs
+    through the fine+fusion graph with the coarse results as inputs."""
+
+    @jax.jit
+    def run_coarse(params, img_lr):
+        return coarse_pass(params, img_lr.astype(compute_dtype),
+                           model_hw=model_hw, precision=precision)
 
     @jax.jit
     def run_tiles(params, crops, img_lr, bbox, areas, prior, cached_feats,
@@ -475,7 +494,7 @@ def _tile_runner(compute_dtype, model_hw, precision):
             bbox, areas, prior, cache, model_hw=model_hw, precision=precision)
         return depths.astype(jnp.float32), cache
 
-    return run_tiles
+    return run_coarse, run_tiles
 
 
 def infer(params, image_float, mode: str = "p16", precision=None,
@@ -501,11 +520,15 @@ def infer(params, image_float, mode: str = "p16", precision=None,
 
     blur_mask = generate_blur_mask(crop) + 1e-3
     mesh = data_mesh_or_none()
-    run_tiles = _tile_runner(compute_dtype, tuple(model_hw), precision)
+    run_coarse, run_tiles = _tile_runner(compute_dtype, tuple(model_hw),
+                                         precision)
+    # tiles per fine-pass call: bounds both HBM peak and the size of the
+    # compile unit (the full 16-tile p49 pass broke the remote TPU compiler)
+    tile_batch = int(os.environ.get("PRISMA_PF_TILE_BATCH", "8"))
 
     avg_map = None
     count_map = None
-    cache = None
+    cache = tuple(run_coarse(params, img_lr))
 
     passes = [(0, 0)]
     if mode != "p16":
@@ -551,24 +574,39 @@ def infer(params, image_float, mode: str = "p16", precision=None,
                     jnp.asarray(pr)[None, :, :, None], model_hw,
                     method="linear", align_corners=True))[0])
 
-        crops_a = jnp.asarray(np.stack(crops))
-        areas_a = jnp.asarray(np.stack(areas))
-        bbox_a = jnp.asarray(np.array(bboxes, np.float32))
-        prior_a = jnp.asarray(np.stack(priors)) if priors else None
+        crops_np = np.stack(crops)
+        areas_np = np.stack(areas)
+        bbox_np = np.array(bboxes, np.float32)
+        priors_np = np.stack(priors) if priors else None
 
         n_tiles = len(tiles)
-        if mesh is not None:
-            crops_a, _ = shard_batch_padded(crops_a, mesh)
-            areas_a, _ = shard_batch_padded(areas_a, mesh)
-            bbox_a, _ = shard_batch_padded(bbox_a, mesh)
-            if prior_a is not None:
-                prior_a, _ = shard_batch_padded(prior_a, mesh)
+        depths_parts = []
+        # fixed-size sub-batches (edge-pad the tail): one compiled shape, and
+        # the priors for the WHOLE pass were computed above, so sub-batch
+        # order cannot change results
+        for s in range(0, n_tiles, tile_batch):
+            e = min(s + tile_batch, n_tiles)
+            pad = tile_batch - (e - s)
 
-        cached_feats, cached_depth = (cache if cache is not None
-                                      else (None, None))
-        depths, cache = run_tiles(params, crops_a, img_lr, bbox_a, areas_a,
-                                  prior_a, cached_feats, cached_depth)
-        depths = depths[:n_tiles]
+            def _p(arr):
+                sub = arr[s:e]
+                if pad:
+                    sub = np.concatenate(
+                        [sub, np.repeat(sub[-1:], pad, axis=0)], axis=0)
+                return jnp.asarray(sub)
+
+            crops_a, areas_a, bbox_a = _p(crops_np), _p(areas_np), _p(bbox_np)
+            prior_a = _p(priors_np) if priors_np is not None else None
+            if mesh is not None:
+                crops_a, _ = shard_batch_padded(crops_a, mesh)
+                areas_a, _ = shard_batch_padded(areas_a, mesh)
+                bbox_a, _ = shard_batch_padded(bbox_a, mesh)
+                if prior_a is not None:
+                    prior_a, _ = shard_batch_padded(prior_a, mesh)
+            d, _cache = run_tiles(params, crops_a, img_lr, bbox_a, areas_a,
+                                  prior_a, cache[0], cache[1])
+            depths_parts.append(np.asarray(d)[:e - s])
+        depths = np.concatenate(depths_parts, axis=0)
         depths = np.asarray(
             resize2d(jnp.asarray(depths)[..., None], crop,
                      method="linear", align_corners=True))[..., 0]
