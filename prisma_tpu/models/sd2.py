@@ -82,6 +82,24 @@ def resnet_block(p, x, temb, groups: int = 32, precision=None):
 
 
 def _attention(q, k, v, heads: int, precision=None):
+    B, N, H, d = q.shape[0], q.shape[1], heads, q.shape[-1] // heads
+    npad = -(-N // 256) * 256
+    if (precision is None and N >= 1024 and N == k.shape[1]
+            and npad * d <= 2_000_000  # full k/v per block must fit VMEM
+            and jax.default_backend() == "tpu"):
+        # long self-attention (768-res latents are ~5k tokens): Pallas flash
+        # kernel, same auto rule as ops/nn.attention; cross-attention (77
+        # context tokens) stays dense
+        from prisma_tpu.ops.pallas.flash_attention import flash_attention
+        fold = lambda t: t.reshape(B, -1, H, d).transpose(0, 2, 1, 3) \
+            .reshape(B * H, -1, d)
+        out = flash_attention(fold(q), fold(k), fold(v))
+        return out.reshape(B, H, N, d).transpose(0, 2, 1, 3) \
+            .reshape(B, N, H * d)
+    return _attention_dense(q, k, v, heads, precision)
+
+
+def _attention_dense(q, k, v, heads: int, precision=None):
     B, N, C = q.shape
     M = k.shape[1]
     d = C // heads
