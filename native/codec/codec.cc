@@ -259,7 +259,13 @@ extern "C" int pvc_concat(const char* out_path, const char* const* inputs, int n
       return -1;
     }
     AVStream* ost = avformat_new_stream(out, nullptr);
-    avcodec_parameters_copy(ost->codecpar, in0->streams[vidx]->codecpar);
+    if (!ost || (err = avcodec_parameters_copy(
+                     ost->codecpar, in0->streams[vidx]->codecpar)) < 0) {
+      set_error("concat: output stream setup failed", ost ? err : 0);
+      avformat_close_input(&in0);
+      avformat_free_context(out);
+      return -1;
+    }
     ost->codecpar->codec_tag = 0;
     ost->time_base = in0->streams[vidx]->time_base;
     avformat_close_input(&in0);
@@ -293,6 +299,12 @@ extern "C" int pvc_concat(const char* out_path, const char* const* inputs, int n
       break;
     }
     int vidx = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vidx < 0) {
+      set_error(std::string("concat: no video stream in ") + inputs[i]);
+      avformat_close_input(&in);
+      rc = -1;
+      break;
+    }
     AVStream* ist = in->streams[vidx];
     int64_t seg_end = ofs;
     while (av_read_frame(in, pkt) >= 0) {

@@ -25,8 +25,11 @@ from prisma_tpu.io.image import open_rgb
 from prisma_tpu.io.video import VideoReader, VideoWriter
 from prisma_tpu.io.writers import write_csv, write_depth, write_pcl
 
-# A video step: (frames_u8 [B, H, W, 3]) -> dict with
-#   'heat' [B, H, W, 3] u8, 'min' [B], 'max' [B], and optionally 'depth' [B, H, W] f32
+# A video step: (frames_u8 [B, H, W, 3], idx0=global index of frames[0]) ->
+#   dict with 'heat' [B, H, W, 3] u8, 'min' [B], 'max' [B], and optionally
+#   'depth' [B, H, W] f32. idx0 lets stochastic drivers (marigold) seed by
+#   GLOBAL frame index so frame-index resume regroups batches without
+#   changing any frame's latents.
 VideoStep = Callable[[np.ndarray], dict]
 # An image infer: (frames_u8 [1, H, W, 3]) -> depth [1, H, W] f32
 ImageInfer = Callable[[np.ndarray], np.ndarray]
@@ -70,7 +73,9 @@ def make_step(params, infer: Callable, flip: bool, need_depth: bool,
         params = shard_params(params, mesh) if mesh is not None \
             else jax.device_put(params)
         jep = jax.jit(epilogue)
-        return lambda frames: jep(infer(params, frames))
+        # non-fused infer contract: (params, frames, idx0) — tile/ensemble
+        # drivers that seed per frame must use the global index
+        return lambda frames, idx0=0: jep(infer(params, frames, idx0))
 
     # multi-chip: replicate params, shard the frame batch over the data mesh
     # (XLA inserts the ICI collectives for the per-frame min/max reductions)
@@ -97,8 +102,8 @@ def make_step(params, infer: Callable, flip: bool, need_depth: bool,
         return epilogue(infer(params, frames))
 
     if shard_batch is not None:
-        return lambda frames: step(params, shard_batch(frames))
-    return lambda frames: step(params, frames)
+        return lambda frames, idx0=0: step(params, shard_batch(frames))
+    return lambda frames, idx0=0: step(params, frames)
 
 
 def _resume_state(output: str, segment_frames: int):
@@ -162,7 +167,7 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
     prof.start_device_trace()
     for frames, valid in reader.batches(batch_size, pad_to_full=True):
         with prof.stage("device_step"):
-            out = step(frames)
+            out = step(frames, idx0=idx)
             heat = np.asarray(out["heat"])
         bmin = np.asarray(out["min"])
         bmax = np.asarray(out["max"])
@@ -177,7 +182,9 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
                 if (idx + 1) % seg == 0:
                     ledger.flush()
                     os.fsync(ledger.fileno())
-            writer.write(heat[b])
+            # per-frame artifacts hit disk BEFORE the mp4 frame write: the
+            # segment-closing write marks the frame complete for resume, so
+            # everything belonging to the frame must already exist
             if depth is not None:
                 if npy and io.subpath:
                     np.save(os.path.join(io.subpath, f"{idx:05d}.npy"), depth[b])
@@ -185,6 +192,7 @@ def run_video(io: BandIO, step: VideoStep, flip: bool,
                     write_depth(os.path.join(io.subpath, f"{idx:05d}.png"),
                                 depth[b], normalize=True, flip=flip,
                                 heatmap=True, encode_range=True)
+            writer.write(heat[b])
             idx += 1
     if ledger is not None:
         ledger.close()

@@ -24,12 +24,17 @@ ENSEMBLE_SIZE = 10
 PROCESSING_RESOLUTION = 768
 
 
-def _infer_frames(params, frames_u8, unet_cfg, steps, ensemble, res, dtype):
+def _infer_frames(params, frames_u8, unet_cfg, steps, ensemble, res, dtype,
+                  idx0=0):
+    # seed by GLOBAL frame index (idx0 + in-batch offset): frame-index resume
+    # regroups batches, and the seed must not depend on the grouping for the
+    # byte-identical-resume guarantee to hold
     outs = []
     for i, f in enumerate(np.asarray(frames_u8)):
         outs.append(jmar.infer(params, f, denoising_steps=steps,
                                ensemble_size=ensemble, processing_res=res,
-                               seed=i, unet_cfg=unet_cfg, compute_dtype=dtype))
+                               seed=idx0 + i, unet_cfg=unet_cfg,
+                               compute_dtype=dtype))
     return jnp.asarray(np.stack(outs))
 
 
@@ -45,15 +50,14 @@ def run(input_path: str, output: str = "", subpath: str = "",
     res = int(os.environ.get("PRISMA_MARIGOLD_RES", str(processing_res)))
     flip = False
 
-    def infer(params_, frames):
+    def infer(params_, frames, idx0=0):
         return _infer_frames(params_, frames, unet_cfg, denoise_steps,
-                             ensemble_size, res, dtype)
+                             ensemble_size, res, dtype, idx0=idx0)
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
-        step = depth_base.make_step(
-            params, lambda p, frames: infer(p, frames), flip, need_depth,
-            fused=False)
+        step = depth_base.make_step(params, infer, flip, need_depth,
+                                    fused=False)
         depth_base.run_video(io, step, flip=flip, npy=npy)
     else:
         depth_base.run_image(io, lambda f: infer(params, f), flip=flip,

@@ -22,8 +22,11 @@ from prisma_tpu.weights.store import load_patchfusion
 BAND = "depth_patchfusion"
 
 
-def _infer_frames(params, frames_u8, mode, model_hw, dtype):
-    """Host loop over frames (each frame runs the jitted tile passes)."""
+def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype):
+    """Host loop over frames (each frame runs the jitted tile passes).
+
+    idx0 (global frame index, depth_base non-fused contract) is unused:
+    PatchFusion is deterministic per frame."""
     outs = []
     for f in np.asarray(frames_u8):
         outs.append(pf.infer(params, f.astype(np.float32) / 255.0, mode=mode,

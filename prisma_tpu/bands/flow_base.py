@@ -20,7 +20,7 @@ import numpy as np
 
 from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.io.video import VideoReader, VideoWriter
-from prisma_tpu.io.writers import write_csv, write_flo
+from prisma_tpu.io.writers import write_csv, write_flo, write_flow_png16
 from prisma_tpu.ops import encode as enc
 from prisma_tpu.ops.flow import compute_fwdbwd_mask_batch
 from prisma_tpu.ops.resize import resize2d
@@ -28,7 +28,7 @@ from prisma_tpu.runtime.config import RuntimeConfig
 
 
 def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
-                   need_flow: bool, dtype=None):
+                   need_flow: bool, dtype=None, need_enc: bool = False):
     """Wrap a model's infer_pairs into the fused band step (resize + HSV +
     consistency epilogues).
 
@@ -68,6 +68,11 @@ def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
             fm, bm = compute_fwdbwd_mask_batch(fwd, bwd)
             out["fwd_mask"] = fm
             out["bwd_mask"] = bm
+            if need_enc:
+                # 16-bit packed flow+validity (--subpath_mask PNGs), encoded
+                # on device inside the same fused step
+                out["fwd_enc"] = jax.vmap(enc.encode_flow)(fwd, fm)
+                out["bwd_enc"] = jax.vmap(enc.encode_flow)(bwd, bm)
         return out
 
     def call(frames):
@@ -83,6 +88,7 @@ def make_flow_step(params, infer_pairs: Callable, ds_hw, need_masks: bool,
 def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
                   output: str = "", subpath: str = "", backwards: bool = False,
                   mask: bool = False, scale: float = 0.75,
+                  subpath_mask: str = "",
                   runtime: RuntimeConfig | None = None) -> BandIO:
     runtime = runtime or RuntimeConfig()
     io = resolve(band, input_path, output=output, force_extension="mp4",
@@ -96,6 +102,15 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
         os.makedirs(flo_dir + "_fwd", exist_ok=True)
         if backwards:
             os.makedirs(flo_dir + "_bwd", exist_ok=True)
+
+    # --subpath_mask: per-pair 16-bit packed flow+validity PNGs (reference
+    # flow_raft.py:212-216 / common/flow.py:95-98)
+    enc_dir = ""
+    if subpath_mask:
+        enc_dir = os.path.join(io.output_folder, subpath_mask)
+        os.makedirs(enc_dir + "_fwd", exist_ok=True)
+        if backwards:
+            os.makedirs(enc_dir + "_bwd", exist_ok=True)
 
     reader = VideoReader(io.input)
     W, H, fps = reader.width, reader.height, reader.fps
@@ -161,8 +176,9 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
     from prisma_tpu.weights.store import cast_params
     params = cast_params(params, dtype)
     need_flow = bool(flo_dir) or backwards
-    step = make_flow_step(params, infer_pairs, (dh, dw), mask, need_flow,
-                          dtype=dtype)
+    need_masks = mask or bool(enc_dir)
+    step = make_flow_step(params, infer_pairs, (dh, dw), need_masks, need_flow,
+                          dtype=dtype, need_enc=bool(enc_dir))
 
     pairs_per_batch = max(1, runtime.batch_size - 1)
     idx = start
@@ -180,6 +196,23 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
                 if (idx + 1) % seg == 0:
                     ledger.flush()
                     os.fsync(ledger.fileno())
+            # per-frame .flo/.png artifacts hit disk BEFORE any mp4 frame
+            # write: a segment-closing write marks the frame complete for
+            # resume
+            if flo_dir:
+                write_flo(os.path.join(flo_dir + "_fwd", "%04d.flo" % idx),
+                          np.asarray(out["fwd"][b]))
+                if backwards:
+                    write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx),
+                              np.asarray(out["bwd"][b]))
+            if enc_dir:
+                write_flow_png16(
+                    os.path.join(enc_dir + "_fwd", "%04d.png" % idx),
+                    np.asarray(out["fwd_enc"][b]))
+                if backwards:
+                    write_flow_png16(
+                        os.path.join(enc_dir + "_bwd", "%04d.png" % idx),
+                        np.asarray(out["bwd_enc"][b]))
             fwd_video.write(fwd_rgb[b])
             if mask:
                 fm = np.asarray(out["fwd_mask"][b])
@@ -191,12 +224,6 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
                                                   -1).astype(np.uint8))
             if backwards and bwd_video is not None:
                 bwd_video.write(np.asarray(out["bwd_rgb"][b]))
-            if flo_dir:
-                write_flo(os.path.join(flo_dir + "_fwd", "%04d.flo" % idx),
-                          np.asarray(out["fwd"][b]))
-                if backwards:
-                    write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx),
-                              np.asarray(out["bwd"][b]))
             idx += 1
 
     window: list[np.ndarray] = []
@@ -227,6 +254,17 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
         write_flo(os.path.join(flo_dir + "_fwd", "%04d.flo" % idx), zero_flow)
         if backwards:
             write_flo(os.path.join(flo_dir + "_bwd", "%04d.flo" % idx), zero_flow)
+    if enc_dir:
+        # reference quirk: the final zero-flow frame is encoded at ORIGINAL
+        # resolution (flow_raft.py:117-126 builds zeros from the full-size
+        # frame), while per-pair PNGs are at the downscaled size
+        zenc = np.concatenate(
+            [np.full((H, W, 2), 2 ** 15, np.uint16),
+             np.zeros((H, W, 1), np.uint16)], axis=-1)
+        write_flow_png16(os.path.join(enc_dir + "_fwd", "%04d.png" % idx), zenc)
+        if backwards:
+            write_flow_png16(os.path.join(enc_dir + "_bwd", "%04d.png" % idx),
+                             zenc)
 
     if ledger is not None:
         ledger.close()

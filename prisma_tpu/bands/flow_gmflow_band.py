@@ -9,6 +9,8 @@ extra cost is one transposed-softmax, and outputs are unchanged.
 
 from __future__ import annotations
 
+import functools
+
 from prisma_tpu.bands.base import BandIO
 from prisma_tpu.bands.flow_base import run_flow_band
 from prisma_tpu.models import gmflow as jgm
@@ -19,10 +21,55 @@ BAND = "flow_gmflow"
 
 
 def run(input_path: str, output: str = "", subpath: str = "",
-        backwards: bool = False, mask: bool = False, scale: float = 0.75,
+        backwards: bool = False, mask: bool = False, subpath_mask: str = "",
+        scale: float = 0.75, inference_size=None,
         runtime: RuntimeConfig | None = None) -> BandIO:
+    """inference_size: optional (h, w) — resize inputs to that size for
+    inference instead of padding to /16, then resize+rescale the flow back
+    (reference flow_gmflow.py --inference_size)."""
     runtime = runtime or RuntimeConfig()
     params = load_gmflow(runtime)
-    return run_flow_band(BAND, input_path, params, jgm.infer_pairs,
+    infer = jgm.infer_pairs
+    if inference_size is not None:
+        infer = functools.partial(jgm.infer_pairs,
+                                  inference_size=tuple(inference_size))
+    return run_flow_band(BAND, input_path, params, infer,
                          output=output, subpath=subpath, backwards=backwards,
-                         mask=mask, scale=scale, runtime=runtime)
+                         mask=mask, subpath_mask=subpath_mask, scale=scale,
+                         runtime=runtime)
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/flow_gmflow.py flag surface)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", "-i", type=str, required=True)
+    parser.add_argument("--output", "-o", type=str, default="")
+    parser.add_argument("--subpath", help="path to flo files", type=str,
+                        default="")
+    parser.add_argument("--backwards", "-b", action="store_true")
+    parser.add_argument("--mask", action="store_true",
+                        help="compute consistency-mask videos as well")
+    parser.add_argument("--subpath_mask", type=str, default="",
+                        help="folder for 16-bit packed flow+validity PNGs")
+    parser.add_argument("--scale", type=float, default=0.75)
+    parser.add_argument("--inference_size", type=int, nargs="+", default=None,
+                        help="(h, w) inference resize instead of /16 padding")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument("--segment_frames", type=int, default=64)
+    args = parser.parse_args(argv)
+    runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
+                            random_weights=args.random_weights,
+                            segment_frames=args.segment_frames)
+    run(args.input, output=args.output, subpath=args.subpath,
+        backwards=args.backwards, mask=args.mask,
+        subpath_mask=args.subpath_mask, scale=args.scale,
+        inference_size=args.inference_size, runtime=runtime)
+
+
+if __name__ == "__main__":
+    main()

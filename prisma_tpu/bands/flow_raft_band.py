@@ -18,7 +18,7 @@ ITERATIONS = 20
 
 
 def run(input_path: str, output: str = "", subpath: str = "",
-        backwards: bool = False, mask: bool = False,
+        backwards: bool = False, mask: bool = False, subpath_mask: str = "",
         iterations: int = ITERATIONS, scale: float = 0.75,
         runtime: RuntimeConfig | None = None) -> BandIO:
     runtime = runtime or RuntimeConfig()
@@ -33,4 +33,40 @@ def run(input_path: str, output: str = "", subpath: str = "",
                               corr_impl=corr_impl)
     return run_flow_band(BAND, input_path, params, infer, output=output,
                          subpath=subpath, backwards=backwards, mask=mask,
-                         scale=scale, runtime=runtime)
+                         subpath_mask=subpath_mask, scale=scale,
+                         runtime=runtime)
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/flow_raft.py flag surface)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", "-i", type=str, required=True)
+    parser.add_argument("--output", "-o", type=str, default="")
+    parser.add_argument("--subpath", help="path to flo files", type=str,
+                        default="")
+    parser.add_argument("--backwards", "-b", action="store_true")
+    parser.add_argument("--mask", action="store_true",
+                        help="compute consistency-mask videos as well")
+    parser.add_argument("--subpath_mask", type=str, default="",
+                        help="folder for 16-bit packed flow+validity PNGs")
+    parser.add_argument("--iterations", type=int, default=ITERATIONS)
+    parser.add_argument("--scale", type=float, default=0.75)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument("--segment_frames", type=int, default=64)
+    args = parser.parse_args(argv)
+    runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
+                            random_weights=args.random_weights,
+                            segment_frames=args.segment_frames)
+    run(args.input, output=args.output, subpath=args.subpath,
+        backwards=args.backwards, mask=args.mask,
+        subpath_mask=args.subpath_mask, iterations=args.iterations,
+        scale=args.scale, runtime=runtime)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,16 @@ def write_flo(path: str, flow: np.ndarray) -> None:
         flow.tofile(f)
 
 
+def write_flow_png16(path: str, encoded_u16: np.ndarray) -> None:
+    """16-bit packed flow+validity PNG (`--subpath_mask` output).
+
+    The reference (bands/common/flow.py:96) passes `encode_flow`'s
+    (u, v, valid) uint16 array straight to cv2.imwrite, which treats the
+    channels as BGR — the file stores them reversed. We make the identical
+    call on an identical array, so the bytes match."""
+    cv2.imwrite(path, np.ascontiguousarray(encoded_u16.astype(np.uint16)))
+
+
 def read_flo(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         magic = np.fromfile(f, np.float32, count=1)[0]

@@ -12,9 +12,11 @@ TPU-first notes:
 - all attention/matching run as batched [L, C] matmuls on the MXU; the
   [B, HW, HW] global-matching softmax is the documented long-context hot spot
   (SURVEY.md §5) — at the 0.75-scaled 1080p default, HW = 180*102 and the
-  matrix is ~1.3 GB in f32, held in HBM for exactly one fused
-  softmax-then-matmul pair; a blockwise online-softmax Pallas kernel is the
-  planned upgrade for >1080p inputs;
+  dense matrix would be ~1.3 GB in f32. Production therefore streams it:
+  `matching="blockwise"` (the default) runs matching AND propagation through
+  `_attn_blockwise`, an online-softmax lax.scan over key chunks that never
+  materializes [B, HW, HW]; `matching="dense"` keeps the materialized oracle
+  for parity tests and small inputs;
 - fwd+bwd flow share one correlation computation (transpose trick), then one
   doubled batch through propagation and upsampling, matching the reference.
 """
@@ -33,6 +35,11 @@ from prisma_tpu.models.raft import convex_upsample, pad_to_multiple, unpad
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# swin-window token count at which "auto" switches the windowed attention to
+# the Pallas flash kernel (dense scores start losing to streaming around the
+# point they blow past VMEM; measured equal at 4680 tokens / 1080p)
+_FLASH_MIN_WINDOW_TOKENS = 16384
 
 
 @dataclass(frozen=True)
@@ -238,7 +245,9 @@ def transformer_forward(params, feature0, feature1, attn_splits: int,
     """6 blocks of (windowed self-attn, cross-attn+ffn) over doubled batch.
 
     attn_impl: "auto" picks the Pallas flash kernel on TPU for windows of
-    >=2048 tokens (HBM-bound XLA score matrices), else the dense XLA path.
+    >= _FLASH_MIN_WINDOW_TOKENS (16384) tokens — where the dense
+    [B*ns*ns, win, win] scores no longer fit (~4K inputs); the dense XLA path
+    otherwise (measured equal at the 4680-token 1080p windows: 136 ms both).
     """
     B, H, W, C = feature0.shape
     f0 = feature0.reshape(B, H * W, C)
@@ -248,7 +257,8 @@ def transformer_forward(params, feature0, feature1, attn_splits: int,
     if attn_impl == "auto":
         win_tokens = (H // attn_splits) * (W // attn_splits)
         attn_impl = "flash" if (jax.default_backend() == "tpu"
-                                and win_tokens >= 16384) else "xla"
+                                and win_tokens >= _FLASH_MIN_WINDOW_TOKENS) \
+            else "xla"
 
     concat0 = jnp.concatenate([f0, f1], axis=0)
     concat1 = jnp.concatenate([f1, f0], axis=0)
@@ -432,13 +442,32 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
 
 
 def infer_pairs(params, image1, image2, cfg: GMFlowConfig = GMFlowConfig(),
-                precision=None):
-    """Padded (factor 16) bidirectional inference -> (fwd, bwd) [B, H, W, 2]."""
+                precision=None, inference_size=None):
+    """Bidirectional inference -> (fwd, bwd) [B, H, W, 2].
+
+    inference_size=None (default): pad H/W to a multiple of 16, infer, unpad
+    (reference flow_gmflow.py:72-74). inference_size=(h, w): bilinear
+    align_corners=True resize to (h, w), infer WITHOUT padding, resize the
+    flow back and rescale its components by the size ratio (reference
+    flow_gmflow.py:78-98 --inference_size)."""
+    from prisma_tpu.ops.resize import resize2d
+
+    B = image1.shape[0]
+    if inference_size is not None:
+        ih, iw = inference_size
+        oh, ow = image1.shape[1], image1.shape[2]
+        i1 = resize2d(image1, (ih, iw), method="linear", align_corners=True)
+        i2 = resize2d(image2, (ih, iw), method="linear", align_corners=True)
+        flow = forward(params, i1, i2, cfg, pred_bidir=True,
+                       precision=precision)
+        flow = resize2d(flow.astype(jnp.float32), (oh, ow), method="linear",
+                        align_corners=True)
+        flow = flow * jnp.asarray([ow / iw, oh / ih], flow.dtype)
+        return flow[:B], flow[B:]
     i1, pads = pad_to_multiple(image1, 16)
     i2, _ = pad_to_multiple(image2, 16)
     flow = forward(params, i1, i2, cfg, pred_bidir=True, precision=precision)
     flow = unpad(flow, pads)
-    B = image1.shape[0]
     return flow[:B], flow[B:]
 
 

@@ -189,9 +189,8 @@ def unet_forward(params, x, t, context, cfg: UNetConfig = UNetConfig(),
         for li in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             if h.shape[1:3] != skip.shape[1:3]:
-                # odd latent dims (e.g. 27 -> down 14 -> up 28): diffusers
-                # upsamples to the skip's size; cropping the nearest-2x result
-                # selects the same nearest-neighbor rows for size 2n-1
+                # safety net only: odd sizes are already handled below, where
+                # the nearest-2x map is cropped BEFORE the upsampler conv
                 h = h[:, :skip.shape[1], :skip.shape[2], :]
             h = jnp.concatenate([h, skip], axis=-1)
             h = resnet_block(block["resnets"][li], h, temb, cfg.norm_groups,
@@ -203,6 +202,15 @@ def unet_forward(params, x, t, context, cfg: UNetConfig = UNetConfig(),
             B, H, W, C = h.shape
             h = jnp.broadcast_to(h[:, :, None, :, None, :],
                                  (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
+            # odd latent dims (e.g. 27 -> down 14 -> up 28): diffusers resizes
+            # to the NEXT skip's size before the upsampler conv
+            # (UNet2DConditionModel forward_upsample_size -> Upsample2D
+            # interpolate(size)), so crop the nearest-2x map BEFORE the conv —
+            # the boundary row must convolve over zero padding, not the
+            # duplicated edge row. For size 2n-1 the crop selects exactly
+            # torch's nearest-neighbor rows.
+            if skips and h.shape[1:3] != skips[-1].shape[1:3]:
+                h = h[:, :skips[-1].shape[1], :skips[-1].shape[2], :]
             h = pnn.conv2d(block["up"], h, padding=1, precision=precision)
 
     h = silu(group_norm(params["norm_out"], h, cfg.norm_groups))

@@ -124,3 +124,19 @@ def test_process_flow_zero_flow_nan_pins_to_reference():
     ours_rgb, ours_max = enc.process_flow(zero)
     assert float(ours_max) == float(ref_max) == 0.0
     np.testing.assert_array_equal(np.asarray(ours_rgb), ref_rgb)
+
+
+def test_write_flow_png16_golden(tmp_path):
+    """Byte-identical to the reference writer: cv2.imwrite of encode_flow
+    (bands/common/flow.py:96)."""
+    import cv2
+
+    from prisma_tpu.io.writers import write_flow_png16
+
+    flow = RNG.normal(0, 10, size=(16, 20, 2)).astype(np.float32)
+    mask = RNG.uniform(size=(16, 20)) > 0.3
+    ours_path = str(tmp_path / "ours.png")
+    ref_path = str(tmp_path / "ref.png")
+    write_flow_png16(ours_path, np.asarray(enc.encode_flow(flow, mask)))
+    cv2.imwrite(ref_path, ref.encode_flow(flow.copy(), mask.copy()))
+    assert open(ours_path, "rb").read() == open(ref_path, "rb").read()

@@ -99,11 +99,11 @@ def test_resume_byte_identical(tmp_path):
     def failing_make_step(*args, **kwargs):
         step = real_make_step(*args, **kwargs)
 
-        def wrapped(frames):
+        def wrapped(frames, *a, **kw):
             if calls["n"] >= 2:
                 raise KeyboardInterrupt("simulated kill")
             calls["n"] += 1
-            return step(frames)
+            return step(frames, *a, **kw)
 
         return wrapped
 
@@ -166,11 +166,11 @@ def test_mask_band_resume_byte_identical(tmp_path, monkeypatch):
     def failing(*args, **kwargs):
         step = real(*args, **kwargs)
 
-        def wrapped(frames):
+        def wrapped(frames, *a, **kw):
             if calls["n"] >= 1:
                 raise KeyboardInterrupt("simulated kill")
             calls["n"] += 1
-            return step(frames)
+            return step(frames, *a, **kw)
 
         return wrapped
 
