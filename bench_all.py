@@ -207,6 +207,83 @@ def bench_marigold():
             "unit": "s/frame", "vs_baseline": None}
 
 
+def bench_3band():
+    """The north-star gauge, MEASURED not composed: the three band steps
+    (SOLOv2+SDF mask, depth_anything vitl, GMFlow flow) coexisting in ONE
+    process on one chip, interleaved per batch over device-resident frames —
+    captures HBM pressure and scheduling interplay that separate per-band
+    benches cannot. No host IO in the loop (the codec pipeline overlaps that
+    on threads in production; the tunneled chip's transfer costs are not
+    representative of local-chip IO)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.bands import mask_band
+    from prisma_tpu.models import depth_anything as da
+    from prisma_tpu.models import gmflow as jgm
+    from prisma_tpu.models import solov2
+    from prisma_tpu.ops import encode as enc
+    from prisma_tpu.ops.resize import resize2d
+    from prisma_tpu.weights.store import cast_params
+
+    batch = int(os.environ.get("PRISMA_BENCH_BATCH", "8"))
+    rng = np.random.default_rng(0)
+
+    # mask step (same construction as the band driver)
+    s2_cfg = solov2.SOLOv2Config()
+    s2_params = solov2.init_params(jax.random.key(3), s2_cfg)
+    mask_step = mask_band._make_step(s2_params, (1080, 1920), s2_cfg,
+                                     mask_band.CONFIDENCE_THRESHOLD, sdf=True,
+                                     dtype=jnp.bfloat16)
+
+    # depth step
+    da_params = jax.device_put(cast_params(
+        da.init_params(jax.random.key(0), "vitl"), jnp.bfloat16))
+
+    @jax.jit
+    def depth_step(params, frames):
+        return da.infer_video_batch(params, frames, encoder="vitl",
+                                    compute_dtype=jnp.bfloat16)
+
+    # flow step (band semantics: 0.75x cubic downscale + bidir + HSV)
+    gm_params = jax.device_put(cast_params(
+        jgm.init_params(jax.random.key(2)), jnp.bfloat16))
+    gm_cfg = jgm.GMFlowConfig()
+
+    @jax.jit
+    def flow_step(params, frames_u8):
+        frames = frames_u8.astype(jnp.float32)
+        ds = resize2d(frames, (810, 1440), method="cubic").astype(jnp.bfloat16)
+        fwd, bwd = jgm.infer_pairs(params, ds[:-1], ds[1:], gm_cfg)
+        fwd_rgb, fwd_max = jax.vmap(enc.process_flow)(fwd.astype(jnp.float32))
+        return fwd_rgb, fwd_max, bwd.astype(jnp.float32)
+
+    frames = jax.device_put(rng.integers(
+        0, 255, size=(batch, 1080, 1920, 3)).astype(np.uint8))
+    window = jax.device_put(rng.integers(
+        0, 255, size=(batch + 1, 1080, 1920, 3)).astype(np.uint8))
+
+    def round_all():
+        m = mask_step(frames)
+        d = depth_step(da_params, frames)
+        f = flow_step(gm_params, window)
+        return m, d, f
+
+    out = round_all()
+    jax.block_until_ready(out)
+    rounds = int(os.environ.get("PRISMA_BENCH_3BAND_ROUNDS", "4"))
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        out = round_all()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * rounds / dt
+    return {"metric": "measured_3band_fps_per_chip", "value": fps,
+            "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP,
+            "note": f"mask+depth+flow interleaved in one process, batch "
+                    f"{batch}, device-resident frames"}
+
+
 def bench_e2e():
     """The north-star gauge: decode -> depth + flow + mask -> encode on a real
     synthetic 1080p clip, through the actual band drivers (native codec IO,
@@ -279,6 +356,7 @@ BENCHES = {
     "mask": bench_mask,
     "patchfusion": bench_patchfusion,
     "marigold": bench_marigold,
+    "3band": bench_3band,
     "e2e": bench_e2e,
 }
 

@@ -37,9 +37,11 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 # swin-window token count at which "auto" switches the windowed attention to
-# the Pallas flash kernel (dense scores start losing to streaming around the
-# point they blow past VMEM; measured equal at 4680 tokens / 1080p)
-_FLASH_MIN_WINDOW_TOKENS = 16384
+# the Pallas flash kernel. With 512-token blocks + bf16 MXU dots the kernel
+# beats the dense path 2x at the 4590-token 1080p windows (1.53 vs 3.1 ms per
+# attention call); below ~4k tokens the dense scores fit comfortably and XLA
+# fusion wins on dispatch simplicity.
+_FLASH_MIN_WINDOW_TOKENS = 4096
 
 
 @dataclass(frozen=True)
@@ -54,9 +56,9 @@ class GMFlowConfig:
     matching: str = "blockwise"
     key_chunk: int = 2048
     # swin window attention: "auto" = Pallas flash kernel on TPU for windows
-    # >= 16384 tokens (where the dense [B, win, win] scores no longer fit —
-    # ~4K inputs); dense XLA otherwise (measured equal at 1080p: 136 ms/step
-    # both ways). "flash"/"xla" force.
+    # >= _FLASH_MIN_WINDOW_TOKENS (4096) tokens — covers the 4590-token
+    # 0.75x-1080p production windows, where the 512-block bf16 kernel runs 2x
+    # the dense XLA path; dense XLA below. "flash"/"xla" force.
     attn_impl: str = "auto"
 
 
@@ -65,9 +67,20 @@ class GMFlowConfig:
 # ---------------------------------------------------------------------------
 
 def _instance_norm(x, eps=1e-5):
-    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps)
+    """Instance norm with single-pass E[x^2]-E[x]^2 stats in f32 over flat HW.
+
+    The mean/var formulation makes XLA chain two reductions with a broadcast
+    between them (an extra full pass over the activation); one fused pass
+    computing both moments measured 63.7 -> 53.3 ms on the whole 810x1440
+    backbone (v5e, 4 images). f32 accumulators: bf16 partial sums lose the
+    variance to cancellation at HW ~ 3e5."""
+    B, H, W, C = x.shape
+    xf = x.reshape(B, H * W, C)
+    m1 = jnp.mean(xf, axis=1, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1)
+    scale = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + eps)
+    y = (xf - m1[:, None, :].astype(x.dtype)) * scale[:, None, :].astype(x.dtype)
+    return y.reshape(B, H, W, C)
 
 
 def _resblock(p, x, stride, precision=None):
@@ -81,11 +94,138 @@ def _resblock(p, x, stride, precision=None):
     return jax.nn.relu(x + y)
 
 
-def backbone_forward(p, x, precision=None):
-    """x [B, H, W, 3] normalized -> [B, H/8, W/8, C]."""
+# --- space-to-depth stage 1 (kept as a measured dead end) -------------------
+# Hypothesis: the 64-channel stage-1 convs half-fill the MXU's 128-lane minor
+# dimension (isolated conv microbench: 15 TFLOPS at 64ch vs 78 at 256ch), so
+# run stage 1 in a 2x2 space-to-depth layout ([H/2, W/2, 64] -> [H/4, W/4,
+# 256]) with the kernels EXACTLY relaid out (same multiply-adds, 4x nominal
+# FLOPs). Channel order: (phase_y*2 + phase_x)*C + c.
+# MEASURED OUTCOME (v5e, 8 images 816x1440, whole backbone, steady state):
+# plain 32.0 ms vs s2d 84.6 ms — the relayout LOSES once the convs sit inside
+# the fused backbone (XLA's layout assignment handles the narrow stage fine
+# after the single-pass instance-norm rewrite removed the copy pathology; the
+# 4x nominal FLOPs then dominate). Kept parity-tested for reference; do not
+# re-enable without re-measuring the full graph.
+
+def _s2d(x):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _instance_norm_s2d(x, C, eps=1e-5):
+    """Instance norm over the ORIGINAL (pre-s2d) channels: stats pool the 4
+    phase blocks together — the identical value set as the plain layout."""
+    B, H, W, PC = x.shape
+    xf = x.reshape(B, H * W * 4, C)
+    m1 = jnp.mean(xf, axis=1, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1)
+    scale = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + eps)
+    y = (xf - m1[:, None, :].astype(x.dtype)) * scale[:, None, :].astype(x.dtype)
+    return y.reshape(B, H, W, PC)
+
+
+def _s2d_kernel3(p):
+    """3x3 stride-1 [ci -> co] kernel -> 3x3 [4ci -> 4co] s2d kernel.
+
+    Output row 2i+py tap u lands on s2d row i + (py+u)//2, phase (py+u)%2 —
+    each (py, u) maps to a unique slot, so this is a pure relayout."""
+    w = p["w"]
+    ci, co = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            for u in (-1, 0, 1):
+                ay, qy = (py + u) // 2 + 1, (py + u) % 2
+                for v in (-1, 0, 1):
+                    ax, qx = (px + v) // 2 + 1, (px + v) % 2
+                    w2 = w2.at[ay, ax,
+                               (qy * 2 + qx) * ci:(qy * 2 + qx + 1) * ci,
+                               (py * 2 + px) * co:(py * 2 + px + 1) * co
+                               ].set(w[u + 1, v + 1])
+    out = {"w": w2}
+    if "b" in p:
+        out["b"] = jnp.tile(p["b"], 4)
+    return out
+
+
+def _s2d_exit_kernel3(p):
+    """3x3 STRIDE-2 [ci -> co] kernel consumed from an s2d input: a 2x2
+    [4ci -> co] stride-1 kernel with asymmetric (1, 0) padding (tap u=-1
+    reaches s2d row i-1 phase 1; u=0/1 stay on row i)."""
+    w = p["w"]
+    ci, co = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+    for u in (-1, 0, 1):
+        ay, qy = u // 2 + 1, u % 2
+        for v in (-1, 0, 1):
+            ax, qx = v // 2 + 1, v % 2
+            w2 = w2.at[ay, ax,
+                       (qy * 2 + qx) * ci:(qy * 2 + qx + 1) * ci, :
+                       ].set(w[u + 1, v + 1])
+    out = {"w": w2}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _s2d_down_kernel1(p, ci):
+    """1x1 STRIDE-2 [ci -> co] kernel from an s2d input: selects the (0, 0)
+    phase block."""
+    w = p["w"]
+    co = w.shape[3]
+    w2 = jnp.zeros((1, 1, 4 * ci, co), w.dtype)
+    w2 = w2.at[0, 0, :ci, :].set(w[0, 0])
+    out = {"w": w2}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def backbone_forward(p, x, precision=None, impl: str = "auto"):
+    """x [B, H, W, 3] normalized -> [B, H/8, W/8, C].
+
+    impl: "plain" (the production path) or "s2d" — the space-to-depth stage-1
+    relayout, numerically equivalent (tests/test_gmflow_parity.py) but
+    measured 2.6x SLOWER end-to-end on the v5e (see the dead-end note above);
+    "auto" resolves to "plain".
+    """
+    if impl == "auto":
+        impl = "plain"
     x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
     x = jax.nn.relu(_instance_norm(x))
-    for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
+    if impl != "s2d":
+        for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
+            x = _resblock(p["blocks"][i], x, stride, precision)
+        return pnn.conv2d(p["conv2"], x, precision=precision)
+
+    hs = _s2d(x)  # [B, H/4, W/4, 256]
+    for i in (0, 1):  # 64-channel stride-1 resblocks, s2d form
+        bp = p["blocks"][i]
+        y = jax.nn.relu(_instance_norm_s2d(
+            pnn.conv2d(_s2d_kernel3(bp["conv1"]), hs, padding=1,
+                       precision=precision), 64))
+        y = jax.nn.relu(_instance_norm_s2d(
+            pnn.conv2d(_s2d_kernel3(bp["conv2"]), y, padding=1,
+                       precision=precision), 64))
+        hs = jax.nn.relu(hs + y)
+
+    # block 2 (64 -> 96, stride 2) exits the s2d layout
+    bp = p["blocks"][2]
+    k = _s2d_exit_kernel3(bp["conv1"])
+    y = jax.lax.conv_general_dilated(
+        hs, k["w"], (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    if "b" in k:
+        y = y + k["b"]
+    y = jax.nn.relu(_instance_norm(y))
+    y = jax.nn.relu(_instance_norm(pnn.conv2d(bp["conv2"], y, padding=1,
+                                              precision=precision)))
+    xd = _instance_norm(pnn.conv2d(_s2d_down_kernel1(bp["down"], 64), hs,
+                                   precision=precision))
+    x = jax.nn.relu(xd + y)
+
+    for i, stride in zip((3, 4, 5), (1, 2, 1)):
         x = _resblock(p["blocks"][i], x, stride, precision)
     return pnn.conv2d(p["conv2"], x, precision=precision)
 
@@ -245,9 +385,7 @@ def transformer_forward(params, feature0, feature1, attn_splits: int,
     """6 blocks of (windowed self-attn, cross-attn+ffn) over doubled batch.
 
     attn_impl: "auto" picks the Pallas flash kernel on TPU for windows of
-    >= _FLASH_MIN_WINDOW_TOKENS (16384) tokens — where the dense
-    [B*ns*ns, win, win] scores no longer fit (~4K inputs); the dense XLA path
-    otherwise (measured equal at the 4680-token 1080p windows: 136 ms both).
+    >= _FLASH_MIN_WINDOW_TOKENS (4096) tokens; the dense XLA path otherwise.
     """
     B, H, W, C = feature0.shape
     f0 = feature0.reshape(B, H * W, C)
@@ -336,6 +474,45 @@ def _coords_grid_flat(H: int, W: int):
     return jnp.stack([gx, gy], axis=-1).reshape(H * W, 2)
 
 
+def _global_attend(q, k, v, scale: float, key_chunk: int, precision=None):
+    """softmax(q kᵀ scale) @ v for the O((HW)²) global matching/propagation.
+
+    On TPU with production precision, uses the Pallas streamed flash kernel
+    (ops/pallas/flash_attention.py): the per-chunk [B, N, key_chunk] scores of
+    the lax.scan formulation round-trip HBM between the matmul and the exp,
+    which measured 28.9 ms (matching) + 30.8 ms (propagation) of the 188 ms
+    4-pair step at 810x1440; the kernel keeps score tiles in VMEM.
+
+    v carries pixel coordinates (matching) or flow (propagation) — values up
+    to ~1800 that bf16 cannot hold (8-bit mantissa). Rather than an f32 p@v
+    matmul (runs at a fraction of the bf16 MXU rate and measured as the
+    kernel's dominant cost), v is split v = 128*hi + lo with hi = floor(v/128):
+    hi is a small exact integer and lo < 128 carries at most a half-ulp (2^-9
+    relative) — both exact for the integer matching grid — and the two halves
+    ride the same 128-lane bf16 value block, recombined in f32 outside. The
+    kernel accumulates the softmax denominator from the SAME quantized weights
+    as the numerator, so peaked attention is exact independent of v's dtype.
+    Elsewhere (CPU tests, explicit precision) falls back to the scan, which
+    matches the dense softmax to f32 accuracy (and keeps q's dtype, so the
+    interpret-mode test path is exact f32).
+    """
+    if jax.default_backend() == "tpu" and precision is None:
+        from prisma_tpu.ops.pallas.flash_attention import \
+            flash_attention_streamed
+        B, N, C = q.shape
+        if v.ndim == 2:
+            v = jnp.broadcast_to(v[None], (B,) + v.shape)
+        dv = v.shape[-1]
+        v_hi = jnp.floor(v / 128.0)
+        v_lo = v - v_hi * 128.0
+        vp = jnp.concatenate([v_lo, v_hi], axis=-1).astype(q.dtype)
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 128 - 2 * dv)))
+        out = flash_attention_streamed(q, k, vp, out_dtype=jnp.float32,
+                                       scale=scale)
+        return out[..., :dv] + 128.0 * out[..., dv:2 * dv]
+    return _attn_blockwise(q, k, v, scale, key_chunk, precision)
+
+
 def global_correlation_softmax(feature0, feature1, bidir: bool,
                                precision=None):
     """[B, H, W, C] x2 -> flow [B or 2B, H, W, 2] via expected coordinates.
@@ -368,9 +545,9 @@ def global_correlation_softmax_blockwise(feature0, feature1, bidir: bool,
     f1 = feature1.reshape(B, H * W, C)
     grid = _coords_grid_flat(H, W)
     scale = 1.0 / (C ** 0.5)
-    corresp = _attn_blockwise(f0, f1, grid, scale, key_chunk, precision)
+    corresp = _global_attend(f0, f1, grid, scale, key_chunk, precision)
     if bidir:
-        bwd = _attn_blockwise(f1, f0, grid, scale, key_chunk, precision)
+        bwd = _global_attend(f1, f0, grid, scale, key_chunk, precision)
         corresp = jnp.concatenate([corresp, bwd], axis=0)
     flow = corresp.reshape(-1, H, W, 2) - grid.reshape(1, H, W, 2)
     return flow
@@ -390,7 +567,7 @@ def flow_propagation(p, feature0, flow, key_chunk: int = 2048,
     v = flow.reshape(B, H * W, 2)
     scale = 1.0 / (C ** 0.5)
     if blockwise:
-        out = _attn_blockwise(q, k, v, scale, key_chunk, precision)
+        out = _global_attend(q, k, v, scale, key_chunk, precision)
         return out.astype(flow.dtype).reshape(B, H, W, 2)
     scores = jnp.einsum("bnc,bmc->bnm", q, k, precision=precision) * scale
     prob = jax.nn.softmax(scores, axis=-1)

@@ -142,6 +142,11 @@ def single_infer(params, rgb01, rng=None, num_steps: int = 10,
     One jitted lax.scan over the DDIM steps; B is the ensemble batch.
     depth_latent [B, H/8, W/8, 4] may be pre-generated (so member values do
     not depend on mesh padding); otherwise it is drawn from rng.
+
+    When rgb01 has batch 1 but depth_latent has batch B, the RGB latent is
+    VAE-encoded ONCE and broadcast over the ensemble — every member sees the
+    identical conditioning image, so encoding it per member (as the round-2
+    pipeline did) was 10x redundant VAE-encoder compute per frame.
     """
     rgb_latent = sd2.vae_encode(params["vae"], rgb01,
                                 precision=precision) * RGB_LATENT_SCALE
@@ -155,6 +160,9 @@ def single_infer(params, rgb01, rng=None, num_steps: int = 10,
         )(keys).astype(rgb_latent.dtype)
     else:
         depth_latent = depth_latent.astype(rgb_latent.dtype)
+        if rgb_latent.shape[0] == 1 and depth_latent.shape[0] > 1:
+            rgb_latent = jnp.broadcast_to(
+                rgb_latent, depth_latent.shape[:1] + rgb_latent.shape[1:])
     context = jnp.broadcast_to(params["empty_text_embed"],
                                (rgb_latent.shape[0],)
                                + params["empty_text_embed"].shape[1:])
@@ -260,14 +268,27 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
     # reference resize_max_res uses PIL Image.resize default = antialiased
     # bicubic (marigold/util/image_util.py:98)
     rgb = resize2d(rgb, (h2, w2), method="cubic_aa").astype(compute_dtype)
-    rgb = jnp.broadcast_to(rgb, (ensemble_size,) + rgb.shape[1:])
+
+    # member latents at the TRUE ensemble size (identical values at any
+    # device count / padding), padded+sharded over the mesh; the rgb frame
+    # stays batch-1 and is VAE-encoded once inside the jitted pipeline
+    rng = jax.random.key(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+        jnp.arange(ensemble_size))
+    # latent spatial factor = one VAE downsample per level transition (tiny
+    # test configs have fewer than the production 8x)
+    ds = 2 ** (len(params["vae"]["enc"]["down"]) - 1)
+    lat_ch = params["vae"]["dec"]["post_quant"]["w"].shape[2]
+    depth_latent = jax.vmap(
+        lambda k: jax.random.normal(k, (h2 // ds, w2 // ds, lat_ch),
+                                    jnp.float32))(keys)
 
     mesh = data_mesh_or_none()
     if mesh is not None:
-        rgb, _ = shard_batch_padded(rgb, mesh)
+        depth_latent, _ = shard_batch_padded(depth_latent, mesh)
 
     run = _infer_fn(denoising_steps, unet_cfg, precision)
-    preds = np.asarray(run(params, rgb, jax.random.key(seed)),
+    preds = np.asarray(run(params, rgb, None, depth_latent=depth_latent),
                        dtype=np.float32)[:ensemble_size]
 
     if ensemble_size > 1:

@@ -474,6 +474,83 @@ def _tile_grid(resolution, crop, off_x, off_y):
 
 
 @functools.lru_cache(maxsize=None)
+def _pass_areas(tiles_key, resolution, crop, model_hw):
+    """Per-pass crop-area maps + bboxes, computed host-side in closed form.
+
+    The area map the reference builds (a box of ones over the tile, bilinearly
+    resized to model_hw with align_corners) is separable: with resize weight
+    matrices Wh [mh, Rh], Ww [mw, Rw], the resized indicator is the outer
+    product of the per-axis weight ROW SUMS over the tile's extent. Computing
+    it here (float64 cumsum, cast f32) replaces a [n, 2160, 3840] device
+    resize + transfer per pass with a one-time [n, 384, 512] constant, cached
+    per pass geometry (identical for every frame of a video)."""
+    from prisma_tpu.ops.resize import _resize_weights
+    ch, cw = crop
+    mh, mw = model_hw
+    Wh = _resize_weights(resolution[0], mh, "linear", True, None).astype(np.float64)
+    Ww = _resize_weights(resolution[1], mw, "linear", True, None).astype(np.float64)
+    Ah = np.concatenate([np.zeros((mh, 1)), np.cumsum(Wh, axis=1)], axis=1)
+    Aw = np.concatenate([np.zeros((mw, 1)), np.cumsum(Ww, axis=1)], axis=1)
+    areas, bboxes = [], []
+    for (y, x) in tiles_key:
+        wy = Ah[:, y + ch] - Ah[:, y]
+        wx = Aw[:, x + cw] - Aw[:, x]
+        areas.append(np.outer(wy, wx).astype(np.float32))
+        bboxes.append([x / resolution[1] * mw, y / resolution[0] * mh,
+                       (x + cw) / resolution[1] * mw,
+                       (y + ch) / resolution[0] * mh])
+    areas = jnp.asarray(np.stack(areas)[..., None])      # [n, mh, mw, 1]
+    return areas, np.array(bboxes, np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _pass_runner(crop, model_hw):
+    """Jitted per-sub-batch prep (tile crop + prior extraction, batched
+    resizes) and accumulation (depth resize + blur-masked scatter into the
+    running average) — everything stays on device; the host only supplies
+    int32 tile offsets. This replaced ~3 device round-trips PER TILE (the
+    round-2 implementation resized each crop/area/prior individually through
+    the tunnel) with 2 jit calls per sub-batch."""
+    from jax import lax
+    ch, cw = crop
+
+    @functools.partial(jax.jit, static_argnames=("use_prior",))
+    def prep(img_t, avg, cnt, offs, use_prior):
+        crops = jax.vmap(
+            lambda o: lax.dynamic_slice(img_t, (o[0], o[1], 0), (ch, cw, 3))
+        )(offs)
+        crops = resize2d(crops, model_hw, method="linear", align_corners=True)
+        prior = None
+        if use_prior:
+            ratio = avg / cnt
+            pr = jax.vmap(
+                lambda o: lax.dynamic_slice(ratio, (o[0], o[1]), (ch, cw))
+            )(offs)[..., None]
+            prior = resize2d(pr, model_hw, method="linear", align_corners=True)
+        return crops, prior
+
+    @jax.jit
+    def accum(avg, cnt, depths_model, offs, valid, blur):
+        d = resize2d(depths_model[..., None], crop, method="linear",
+                     align_corners=True)[..., 0]
+
+        def body(carry, inp):
+            avg, cnt = carry
+            d_i, o, v = inp
+            pa = lax.dynamic_slice(avg, (o[0], o[1]), (ch, cw))
+            pc = lax.dynamic_slice(cnt, (o[0], o[1]), (ch, cw))
+            avg = lax.dynamic_update_slice(avg, pa + d_i * blur * v,
+                                           (o[0], o[1]))
+            cnt = lax.dynamic_update_slice(cnt, pc + blur * v, (o[0], o[1]))
+            return (avg, cnt), None
+
+        (avg, cnt), _ = lax.scan(body, (avg, cnt), (d, offs, valid))
+        return avg, cnt
+
+    return prep, accum
+
+
+@functools.lru_cache(maxsize=None)
 def _tile_runner(compute_dtype, model_hw, precision):
     """Jitted coarse + tile passes, cached by static config so video drivers
     do not re-trace per frame. Two separate compile units: the whole-image
@@ -506,28 +583,30 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     over the `data` axis (SURVEY.md §2.10: tiles across chips); the coarse
     cache and params ride replicated.
     """
-    from prisma_tpu.parallel import data_mesh_or_none, shard_batch_padded
+    from prisma_tpu.parallel import (data_mesh_or_none, replicate,
+                                     shard_batch_padded)
 
     H, W = image_float.shape[:2]
     resolution = pick_resolution(H, W)
     crop = (resolution[0] // 4, resolution[1] // 4)
 
-    img_t = np.asarray(resize2d(jnp.asarray(image_float, jnp.float32)[None],
-                                resolution, method="cubic",
-                                align_corners=True))[0]
-    img_lr = resize2d(jnp.asarray(img_t)[None], model_hw, method="linear",
+    img_t = resize2d(jnp.asarray(image_float, jnp.float32)[None],
+                     resolution, method="cubic", align_corners=True)[0]
+    img_lr = resize2d(img_t[None], model_hw, method="linear",
                       align_corners=True)
 
-    blur_mask = generate_blur_mask(crop) + 1e-3
+    blur = jnp.asarray(generate_blur_mask(crop) + 1e-3)
     mesh = data_mesh_or_none()
     run_coarse, run_tiles = _tile_runner(compute_dtype, tuple(model_hw),
                                          precision)
+    prep, accum = _pass_runner(crop, tuple(model_hw))
     # tiles per fine-pass call: bounds both HBM peak and the size of the
     # compile unit (the full 16-tile p49 pass broke the remote TPU compiler)
     tile_batch = int(os.environ.get("PRISMA_PF_TILE_BATCH", "8"))
 
-    avg_map = None
-    count_map = None
+    img_t_dev = img_t
+    avg_map = jnp.zeros(resolution, jnp.float32)
+    count_map = jnp.zeros(resolution, jnp.float32)
     cache = tuple(run_coarse(params, img_lr))
 
     passes = [(0, 0)]
@@ -539,87 +618,67 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     # batches with the running-average prior refreshed per batch
     n_random = int(mode[1:]) if mode.startswith("r") and mode[1:].isdigit() else 0
     rng_tiles = np.random.default_rng(2024)
-    rand_batch = 8
-    rand_passes = [None] * ((n_random + rand_batch - 1) // rand_batch) \
+    rand_passes = [None] * ((n_random + tile_batch - 1) // tile_batch) \
         if n_random else []
 
     for pass_i, pass_spec in enumerate(passes + rand_passes):
         if pass_spec is None:
-            remaining = n_random - (pass_i - len(passes)) * rand_batch
-            count = min(rand_batch, remaining)
+            remaining = n_random - (pass_i - len(passes)) * tile_batch
+            count = min(tile_batch, remaining)
             tiles = [(int(rng_tiles.integers(0, resolution[0] - crop[0] + 1)),
                       int(rng_tiles.integers(0, resolution[1] - crop[1] + 1)))
                      for _ in range(count)]
         else:
             off_x, off_y = pass_spec
             tiles = _tile_grid(resolution, crop, off_x, off_y)
-        crops, areas, bboxes, priors = [], [], [], []
-        for (y, x) in tiles:
-            tile_img = img_t[y:y + crop[0], x:x + crop[1]]
-            crops.append(np.asarray(resize2d(jnp.asarray(tile_img)[None],
-                                             model_hw, method="linear",
-                                             align_corners=True))[0])
-            area = np.zeros(resolution, np.float32)
-            area[y:y + crop[0], x:x + crop[1]] = 1.0
-            areas.append(np.asarray(resize2d(jnp.asarray(area)[None, :, :, None],
-                                             model_hw, method="linear",
-                                             align_corners=True))[0])
-            bboxes.append([x / resolution[1] * model_hw[1],
-                           y / resolution[0] * model_hw[0],
-                           (x + crop[1]) / resolution[1] * model_hw[1],
-                           (y + crop[0]) / resolution[0] * model_hw[0]])
-            if pass_i > 0:
-                pr = np.asarray(avg_map / count_map)[y:y + crop[0], x:x + crop[1]]
-                priors.append(np.asarray(resize2d(
-                    jnp.asarray(pr)[None, :, :, None], model_hw,
-                    method="linear", align_corners=True))[0])
-
-        crops_np = np.stack(crops)
-        areas_np = np.stack(areas)
-        bbox_np = np.array(bboxes, np.float32)
-        priors_np = np.stack(priors) if priors else None
-
+        areas_dev, bbox_np = _pass_areas(tuple(tiles), resolution, crop,
+                                         tuple(model_hw))
         n_tiles = len(tiles)
-        depths_parts = []
-        # fixed-size sub-batches (edge-pad the tail): one compiled shape, and
-        # the priors for the WHOLE pass were computed above, so sub-batch
-        # order cannot change results
+
+        # fixed-size sub-batches (edge-pad the tail with the last tile). The
+        # prior reads avg/count FROZEN at the start of the pass (reference
+        # semantics: the running average updates between passes, not within),
+        # so prep for every sub-batch before any accumulation.
+        batches = []
         for s in range(0, n_tiles, tile_batch):
-            e = min(s + tile_batch, n_tiles)
-            pad = tile_batch - (e - s)
-
-            def _p(arr):
-                sub = arr[s:e]
-                if pad:
-                    sub = np.concatenate(
-                        [sub, np.repeat(sub[-1:], pad, axis=0)], axis=0)
-                return jnp.asarray(sub)
-
-            crops_a, areas_a, bbox_a = _p(crops_np), _p(areas_np), _p(bbox_np)
-            prior_a = _p(priors_np) if priors_np is not None else None
+            idx = list(range(s, min(s + tile_batch, n_tiles)))
+            valid = np.zeros((tile_batch,), np.float32)
+            valid[:len(idx)] = 1.0
+            while len(idx) < tile_batch:
+                idx.append(idx[-1])
+            offs = jnp.asarray([tiles[i] for i in idx], jnp.int32)
+            crops_a, prior_a = prep(img_t_dev, avg_map, count_map, offs,
+                                    pass_i > 0)
+            areas_a = areas_dev[np.asarray(idx)]
+            bbox_a = jnp.asarray(bbox_np[np.asarray(idx)])
             if mesh is not None:
                 crops_a, _ = shard_batch_padded(crops_a, mesh)
                 areas_a, _ = shard_batch_padded(areas_a, mesh)
                 bbox_a, _ = shard_batch_padded(bbox_a, mesh)
                 if prior_a is not None:
                     prior_a, _ = shard_batch_padded(prior_a, mesh)
+            batches.append((crops_a, areas_a, bbox_a, prior_a, offs,
+                            jnp.asarray(valid)))
+        for crops_a, areas_a, bbox_a, prior_a, offs, valid in batches:
             d, _cache = run_tiles(params, crops_a, img_lr, bbox_a, areas_a,
                                   prior_a, cache[0], cache[1])
-            depths_parts.append(np.asarray(d)[:e - s])
-        depths = np.concatenate(depths_parts, axis=0)
-        depths = np.asarray(
-            resize2d(jnp.asarray(depths)[..., None], crop,
-                     method="linear", align_corners=True))[..., 0]
-
-        if avg_map is None:
-            avg_map = np.zeros(resolution, np.float32)
-            count_map = np.zeros(resolution, np.float32)
-        for d, (y, x) in zip(depths, tiles):
-            avg_map[y:y + crop[0], x:x + crop[1]] += d * blur_mask
-            count_map[y:y + crop[0], x:x + crop[1]] += blur_mask
+            # mesh padding may have grown the batch beyond tile_batch; the
+            # tail rows are duplicates of the last tile and are dropped
+            d = d[:offs.shape[0]]
+            if mesh is not None:
+                # `accum`'s scan is sequential over tiles, so it needs the
+                # whole depth batch on every device. Gather it with an
+                # explicit device_put reshard rather than letting GSPMD
+                # compile an all-gather into the executable: back-to-back
+                # SPMD executables with compiled collectives deadlock the
+                # XLA:CPU in-process rendezvous (8-virtual-device test mesh),
+                # and on real chips the copy is the same bytes over ICI.
+                d = jax.device_put(d, replicate(mesh))
+            avg_map, count_map = accum(avg_map, count_map, d, offs, valid,
+                                       blur)
 
     depth = avg_map / count_map
-    out = np.asarray(resize2d(jnp.asarray(depth)[None, :, :, None], (H, W),
+    out = np.asarray(resize2d(depth[None, :, :, None], (H, W),
                               method="linear"))[0, :, :, 0]
     return out
 

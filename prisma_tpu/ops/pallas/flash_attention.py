@@ -46,15 +46,18 @@ _ID_LANES = 128  # one-hot width (region ids must be < 128); one MXU lane tile
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
                   n_valid: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, dqk]
+    # q/k/v stay in the input dtype for the MXU dots (bf16 x bf16 -> f32
+    # accumulate runs at 2x the all-f32 rate); softmax state is f32
+    q = q_ref[0]                                      # [BQ, dqk]
     bq = q.shape[0]
     dv = v_ref.shape[-1]
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         if n_valid < n_kv:  # mask padded key columns
             col = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                          (bq, block_k), 1)
@@ -64,7 +67,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc = jnp.zeros((bq, dv), jnp.float32)
@@ -84,12 +88,16 @@ def _pad_axis1(x, n, fill=0):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, ids=None, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K, interpret: bool = False):
+def flash_attention(q, k, v, ids=None, block_q: int | None = None,
+                    block_k: int | None = None, interpret: bool = False):
     """q/k/v [B, N, d] (B folds batch x heads x windows) -> [B, N, d].
 
     N is padded to the block sizes internally: padded KEY columns score -1e9
     (zero softmax mass), padded QUERY rows are sliced off the output.
+
+    block_q/block_k default by sequence length: 512 for N >= 3072 (measured
+    2x over both dense XLA and 256-blocks at the 4590-token GMFlow windows:
+    1.53 vs 3.1 ms), 256 below (less padding waste for ViT-length rows).
 
     ids: optional [B, N] int region labels (< 128); tokens with different
     labels attend with an additive -100 bias (GMFlow's shifted-window mask),
@@ -97,6 +105,10 @@ def flash_attention(q, k, v, ids=None, block_q: int = DEFAULT_BLOCK_Q,
     docstring).
     """
     B, N, d = q.shape
+    if block_q is None:
+        block_q = 512 if N >= 3072 else DEFAULT_BLOCK_Q
+    if block_k is None:
+        block_k = 512 if N >= 3072 else DEFAULT_BLOCK_K
     scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
     if ids is not None:
@@ -129,6 +141,109 @@ def flash_attention(q, k, v, ids=None, block_q: int = DEFAULT_BLOCK_Q,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, npad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N]
+
+
+def _flash_kernel_streamed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                           *, nk_steps: int, block_k: int, n_valid: int,
+                           scale: float):
+    """Online-softmax step for ONE (q block, k block) grid cell; the k axis is
+    the innermost (sequential) grid dimension and the softmax state lives in
+    VMEM scratch across its steps — so K/V stream from HBM block-by-block
+    instead of residing whole in VMEM (the non-streamed kernel needs the full
+    [N, d] K and V per q block, which blows VMEM at GMFlow's 18k-token global
+    matching: 18432 x 128 x (bf16 K + f32 V) ~ 14 MB before double buffering).
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]                                      # [BQ, dqk]
+    k = k_ref[0]                                      # [BK, dqk]
+    v = v_ref[0]                                      # [BK, dv]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if n_valid < nk_steps * block_k:  # mask padded key columns
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _NEG)
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    # the denominator accumulates the SAME quantized weights as the numerator
+    # (pv, not p): a fully peaked softmax then returns its argmax row of v
+    # bit-exactly whatever v's dtype — the dominant error term for
+    # coordinate-valued v would otherwise be the p-vs-pv normalizer mismatch
+    pv = p.astype(v.dtype)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pv.astype(jnp.float32), axis=-1,
+                                              keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        pv, v, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_steps - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "out_dtype",
+                                              "scale", "interpret"))
+def flash_attention_streamed(q, k, v, block_q: int = 512, block_k: int = 512,
+                             out_dtype=None, scale: float | None = None,
+                             interpret: bool = False):
+    """softmax(q kᵀ / sqrt(d)) @ v with K/V streamed over the grid — for
+    sequences far beyond VMEM (GMFlow's global matching / flow propagation,
+    18k tokens at 810x1440). q/k [B, N, d] and [B, M, d]; v [B, M, dv] may be
+    a different dtype than q/k (f32 coordinate values with bf16 features: the
+    softmax weights then multiply v in f32, keeping expected-coordinate
+    precision). dv must be lane-tileable (pad to 128).
+
+    Scores/softmax state are f32 regardless of input dtype; out_dtype defaults
+    to v.dtype.
+    """
+    B, N, d = q.shape
+    M = k.shape[1]
+    dv = v.shape[-1]
+    out_dtype = out_dtype or v.dtype
+    if scale is None:
+        scale = d ** -0.5
+    npad = -(-N // block_q) * block_q
+    mpad = -(-M // block_k) * block_k
+    qp = _pad_axis1(q, npad)
+    kp = _pad_axis1(k, mpad)
+    vp = _pad_axis1(v, mpad)
+    nk_steps = mpad // block_k
+
+    kernel = functools.partial(_flash_kernel_streamed, nk_steps=nk_steps,
+                               block_k=block_k, n_valid=M, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, npad // block_q, nk_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npad, dv), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dv), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :N]

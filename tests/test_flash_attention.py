@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from prisma_tpu.ops.pallas.flash_attention import _xla_attention, flash_attention
@@ -68,3 +69,52 @@ def test_gmflow_window_attention_flash_matches_xla():
         ours = _window_attention(q, k, v, h, w, ns, ids, impl="flash")
     ref = _window_attention(q, k, v, h, w, ns, ids, impl="xla")
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_streamed_matches_softmax():
+    """Streamed (grid-K) flash kernel vs explicit softmax: ragged N and M,
+    asymmetric q/k lengths, f32 coordinate-style values, custom scale."""
+    from prisma_tpu.ops.pallas.flash_attention import (_xla_attention,
+                                                       flash_attention_streamed)
+    rng = np.random.default_rng(7)
+    B, N, M, d = 2, 300, 550, 32
+    q = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, M, d)).astype(np.float32))
+    v = jnp.asarray((rng.uniform(0, 1440, size=(B, M, 128))).astype(np.float32))
+    scale = 1.0 / (d ** 0.5)
+    ours = flash_attention_streamed(q, k, v, block_q=128, block_k=128,
+                                    scale=scale, interpret=True)
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bnm,bmd->bnd", p, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5,
+                               atol=2e-3)
+
+
+def test_gmflow_global_attend_flash_matches_scan():
+    """_global_attend's flash route (forced via interpret) vs the scan
+    blockwise softmax on the matching shapes."""
+    import unittest.mock as mock
+
+    from prisma_tpu.models import gmflow as jgm
+    from prisma_tpu.ops.pallas import flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    B, N, C = 2, 210, 64
+    q = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    grid = jgm._coords_grid_flat(14, 15)
+    scale = 1.0 / (C ** 0.5)
+
+    real = fa.flash_attention_streamed
+
+    def interp(qq, kk, vv, **kw):
+        kw.update(block_q=128, block_k=128, interpret=True)
+        return real(qq, kk, vv, **kw)
+
+    with mock.patch.object(fa, "flash_attention_streamed", interp), \
+         mock.patch.object(jax, "default_backend", lambda: "tpu"):
+        ours = jgm._global_attend(q, k, grid, scale, 2048, None)
+    ref = jgm._attn_blockwise(q, k, grid, scale, 2048, None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4,
+                               atol=5e-3)

@@ -111,3 +111,22 @@ def test_blockwise_matching_matches_dense(bidir):
         params, img0, img1, jgm.GMFlowConfig(matching="blockwise", key_chunk=33),
         pred_bidir=bidir, precision="highest"))
     np.testing.assert_allclose(block, dense, atol=1e-3)
+
+
+def test_backbone_s2d_matches_plain():
+    """The space-to-depth stage-1 backbone is an exact kernel relayout."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from prisma_tpu.models import gmflow as jgm
+
+    params = jgm.init_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 96, 3)),
+                    jnp.float32)
+    a = jgm.backbone_forward(params["backbone"], x, precision="highest",
+                             impl="plain")
+    b = jgm.backbone_forward(params["backbone"], x, precision="highest",
+                             impl="s2d")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
