@@ -23,16 +23,18 @@ BAND = "flow_gmflow"
 def run(input_path: str, output: str = "", subpath: str = "",
         backwards: bool = False, mask: bool = False, subpath_mask: str = "",
         scale: float = 0.75, inference_size=None,
+        cfg: jgm.GMFlowConfig | None = None,
         runtime: RuntimeConfig | None = None) -> BandIO:
     """inference_size: optional (h, w) — resize inputs to that size for
     inference instead of padding to /16, then resize+rescale the flow back
-    (reference flow_gmflow.py --inference_size)."""
+    (reference flow_gmflow.py --inference_size). cfg selects the model
+    variant (jgm.refine_config() for the 2-scale gmflow_with_refine)."""
     runtime = runtime or RuntimeConfig()
-    params = load_gmflow(runtime)
-    infer = jgm.infer_pairs
+    cfg = cfg or jgm.GMFlowConfig()
+    params = load_gmflow(runtime, cfg)
+    infer = functools.partial(jgm.infer_pairs, cfg=cfg)
     if inference_size is not None:
-        infer = functools.partial(jgm.infer_pairs,
-                                  inference_size=tuple(inference_size))
+        infer = functools.partial(infer, inference_size=tuple(inference_size))
     return run_flow_band(BAND, input_path, params, infer,
                          output=output, subpath=subpath, backwards=backwards,
                          mask=mask, subpath_mask=subpath_mask, scale=scale,
@@ -56,6 +58,18 @@ def main(argv=None):
     parser.add_argument("--scale", type=float, default=0.75)
     parser.add_argument("--inference_size", type=int, nargs="+", default=None,
                         help="(h, w) inference resize instead of /16 padding")
+    parser.add_argument("--num_scales", type=int, default=1,
+                        help="1 = basic gmflow (1/8 feature); 2 = refinement "
+                             "with the additional 1/4 feature (reference "
+                             "flow_gmflow.py:237)")
+    parser.add_argument("--upsample_factor", type=int, default=None)
+    parser.add_argument("--attn_splits_list", type=int, nargs="+",
+                        default=None)
+    parser.add_argument("--corr_radius_list", type=int, nargs="+",
+                        default=None, help="-1 = global matching")
+    parser.add_argument("--prop_radius_list", type=int, nargs="+",
+                        default=None, help="-1 = global propagation")
+    parser.add_argument("--padding_factor", type=int, default=None)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
@@ -65,10 +79,20 @@ def main(argv=None):
     runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
                             random_weights=args.random_weights,
                             segment_frames=args.segment_frames)
+    kw = {}
+    if args.num_scales > 1:
+        kw = dict(num_scales=2, upsample_factor=4, padding_factor=32)
+    for name in ("upsample_factor", "padding_factor"):
+        if getattr(args, name) is not None:
+            kw[name] = getattr(args, name)
+    for name in ("attn_splits_list", "corr_radius_list", "prop_radius_list"):
+        if getattr(args, name) is not None:
+            kw[name] = tuple(getattr(args, name))
+    cfg = jgm.GMFlowConfig(**kw) if kw else None
     run(args.input, output=args.output, subpath=args.subpath,
         backwards=args.backwards, mask=args.mask,
         subpath_mask=args.subpath_mask, scale=args.scale,
-        inference_size=args.inference_size, runtime=runtime)
+        inference_size=args.inference_size, cfg=cfg, runtime=runtime)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,10 @@ sine position embedding added inside 2x2 attention splits, 6 swin-style
 self+cross transformer blocks (shifted windows on odd layers), global
 correlation softmax matching (bidirectional via the transposed correlation),
 global flow-propagation self-attention, and RAFT-style convex upsampling.
+The 2-scale gmflow_with_refine variant (`refine_config()` / CLI
+--num_scales 2) adds the trident-conv 1/4 branch, local correlation
+matching (radius 4) over warped features, and local-window propagation
+(reference gmflow.py:93-166, matching.py:39-83, trident_conv.py).
 
 TPU-first notes:
 - all attention/matching run as batched [L, C] matmuls on the MXU; the
@@ -60,6 +64,36 @@ class GMFlowConfig:
     # 0.75x-1080p production windows, where the 512-block bf16 kernel runs 2x
     # the dense XLA path; dense XLA below. "flash"/"xla" force.
     attn_impl: str = "auto"
+    # ---- 2-scale local-correlation refinement (gmflow_with_refine) --------
+    # reference gmflow/gmflow.py:75-90 + matching.py:39-83: num_scales=2 adds
+    # a 1/4-resolution pass (trident-conv backbone branch) with local window
+    # matching (corr radius 4), warped feature1, local-window propagation
+    # (radius 1) and x4 convex upsampling. The per-scale lists default to the
+    # reference CLI configs ((2,)/(-1,)/(-1,) single-scale; (2, 8)/(-1, 4)/
+    # (-1, 1) for refinement, flow_gmflow.py:243-245).
+    num_scales: int = 1
+    attn_splits_list: tuple | None = None
+    corr_radius_list: tuple | None = None
+    prop_radius_list: tuple | None = None
+    padding_factor: int = 16
+
+    def scale_lists(self):
+        """Resolved (attn_splits, corr_radius, prop_radius) per scale."""
+        if self.num_scales == 1:
+            return ((self.attn_splits_list or (self.attn_splits,)),
+                    (self.corr_radius_list or (-1,)),
+                    (self.prop_radius_list or (-1,)))
+        return ((self.attn_splits_list or (2, 8)),
+                (self.corr_radius_list or (-1, 4)),
+                (self.prop_radius_list or (-1, 1)))
+
+
+def refine_config(**overrides) -> GMFlowConfig:
+    """The reference gmflow_with_refine configuration (2-scale, x4 upsample,
+    /32 padding)."""
+    kw = dict(num_scales=2, upsample_factor=4, padding_factor=32)
+    kw.update(overrides)
+    return GMFlowConfig(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +216,13 @@ def _s2d_down_kernel1(p, ci):
     return out
 
 
-def backbone_forward(p, x, precision=None, impl: str = "auto"):
-    """x [B, H, W, 3] normalized -> [B, H/8, W/8, C].
+def backbone_forward(p, x, precision=None, impl: str = "auto",
+                     num_scales: int = 1):
+    """x [B, H, W, 3] normalized -> [B, H/8, W/8, C] (num_scales=1), or a
+    [low-res 1/8, high-res 1/4] feature list (num_scales=2): layer3 runs at
+    stride 1 and a weight-SHARED 3x3 trident conv produces both scales at
+    strides (2, 1) (reference backbone.py:59-80 + trident_conv.py — the
+    MultiScaleTridentConv is one kernel applied at per-branch strides).
 
     impl: "plain" (the production path) or "s2d" — the space-to-depth stage-1
     relayout, numerically equivalent (tests/test_gmflow_parity.py) but
@@ -194,6 +233,15 @@ def backbone_forward(p, x, precision=None, impl: str = "auto"):
         impl = "plain"
     x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
     x = jax.nn.relu(_instance_norm(x))
+    if num_scales > 1:
+        assert num_scales == 2 and impl != "s2d"
+        for i, stride in enumerate([1, 1, 2, 1, 1, 1]):  # layer3 stride 1
+            x = _resblock(p["blocks"][i], x, stride, precision)
+        x = pnn.conv2d(p["conv2"], x, precision=precision)   # [B, H/4, W/4, C]
+        tw = p["trident"]
+        hi = pnn.conv2d(tw, x, stride=1, padding=1, precision=precision)
+        lo = pnn.conv2d(tw, x, stride=2, padding=1, precision=precision)
+        return [lo, hi]  # resolution low -> high (gmflow.py:55-57 reversed)
     if impl != "s2d":
         for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
             x = _resblock(p["blocks"][i], x, stride, precision)
@@ -553,6 +601,93 @@ def global_correlation_softmax_blockwise(feature0, feature1, bidir: bool,
     return flow
 
 
+def local_correlation_softmax(feature0, feature1, radius: int,
+                              precision=None):
+    """Windowed correlation softmax matching (reference matching.py:39-83):
+    per pixel, correlate with the (2r+1)^2 integer-offset window of feature1
+    (zeros outside), mask out-of-image taps to -1e9, softmax, and take the
+    expected offset as flow.
+
+    TPU-first: the window taps are (2r+1)^2 SHIFTED-SLICE elementwise dots
+    (one fused multiply+C-reduction per tap, fully vectorizable) instead of
+    the reference's grid_sample gather of a [B, HW, C, (2R+1)^2] tensor —
+    integer offsets make the bilinear sample an exact slice.
+    """
+    B, H, W, C = feature0.shape
+    r = radius
+    n = 2 * r + 1
+    scale = 1.0 / (C ** 0.5)
+    f1p = jnp.pad(feature1, ((0, 0), (r, r), (r, r), (0, 0)))
+    taps = []
+    for dy in range(-r, r + 1):        # dy slow, dx fast (window_grid order)
+        for dx in range(-r, r + 1):
+            s = jax.lax.slice(f1p, (0, r + dy, r + dx, 0),
+                              (B, r + dy + H, r + dx + W, C))
+            taps.append(jnp.einsum("bhwc,bhwc->bhw", feature0, s,
+                                   precision=precision) * scale)
+    corr = jnp.stack(taps, axis=-1)    # [B, H, W, n*n]
+    gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox = jnp.tile(offs, n)             # dx fast
+    oy = jnp.repeat(offs, n)           # dy slow
+    valid = ((gx[None, :, :, None] + ox >= 0) & (gx[None, :, :, None] + ox < W)
+             & (gy[None, :, :, None] + oy >= 0)
+             & (gy[None, :, :, None] + oy < H))
+    corr = jnp.where(valid, corr, jnp.asarray(-1e9, corr.dtype))
+    prob = jax.nn.softmax(corr.astype(jnp.float32), axis=-1)
+    flow = jnp.stack([jnp.sum(prob * ox, -1), jnp.sum(prob * oy, -1)], -1)
+    return flow.astype(feature0.dtype)
+
+
+def _flow_warp(feature, flow):
+    """Warp feature [B, H, W, C] by flow (bilinear, zeros outside; reference
+    geometry.py flow_warp: grid_sample align_corners=True, padding zeros)."""
+    from prisma_tpu.models.raft import _bilinear_gather_feat
+    B, H, W, C = feature.shape
+    gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    fx = flow[..., 0].astype(jnp.float32) + gx
+    fy = flow[..., 1].astype(jnp.float32) + gy
+    out = _bilinear_gather_feat(feature, fx.reshape(B, H * W),
+                                fy.reshape(B, H * W))
+    return out.reshape(B, H, W, C)
+
+
+def flow_propagation_local(p, feature0, flow, radius: int = 1,
+                           precision=None):
+    """Local-window flow propagation (reference transformer.py:377-409
+    forward_local_window_attn): queries q_proj(feature0), keys k_proj(feature0)
+    — NOTE the local path projects keys from the RAW feature, unlike the
+    global path's k_proj(q_proj(x)) quirk — scores over the (2r+1)^2
+    zero-padded neighborhood (no validity masking: the reference unfold
+    zero-pads, so border taps score 0 and still take softmax mass), values =
+    zero-padded flow window.
+    """
+    B, H, W, C = feature0.shape
+    r = radius
+    n = 2 * r + 1
+    scale = 1.0 / (C ** 0.5)
+    q = pnn.linear(p["q"], feature0, precision=precision)
+    k = pnn.linear(p["k"], feature0, precision=precision)
+    kp = jnp.pad(k, ((0, 0), (r, r), (r, r), (0, 0)))
+    fp = jnp.pad(flow, ((0, 0), (r, r), (r, r), (0, 0)))
+    scores, vals = [], []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ks = jax.lax.slice(kp, (0, r + dy, r + dx, 0),
+                               (B, r + dy + H, r + dx + W, C))
+            scores.append(jnp.einsum("bhwc,bhwc->bhw", q, ks,
+                                     precision=precision) * scale)
+            vals.append(jax.lax.slice(fp, (0, r + dy, r + dx, 0),
+                                      (B, r + dy + H, r + dx + W, 2)))
+    s = jnp.stack(scores, axis=-1)                       # [B, H, W, n*n]
+    v = jnp.stack(vals, axis=-2)                         # [B, H, W, n*n, 2]
+    prob = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    out = jnp.sum(prob[..., None] * v.astype(jnp.float32), axis=-2)
+    return out.astype(flow.dtype)
+
+
 def flow_propagation(p, feature0, flow, key_chunk: int = 2048,
                      precision=None, blockwise: bool = True):
     """Global self-attention with flow as value (reference quirk: the key
@@ -577,10 +712,17 @@ def flow_propagation(p, feature0, flow, key_chunk: int = 2048,
 
 def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
             pred_bidir: bool = True, precision=None):
-    """img0/1 [B, H, W, 3] in [0, 255], H/W multiples of 8 (driver pads /16).
+    """img0/1 [B, H, W, 3] in [0, 255], H/W multiples of 8 (driver pads to
+    cfg.padding_factor).
 
     Returns flow [B or 2B, H, W, 2] (fwd rows first, then bwd when bidir).
+    num_scales=2 runs the refinement pass (reference gmflow.py:93-166): the
+    1/4-scale features are batch-doubled for bidir, feature1 warped by the
+    2x-upsampled scale-0 flow, matched with a local correlation window and
+    propagated with local window attention, then x4 convex upsampled.
     """
+    from prisma_tpu.ops.resize import resize2d
+
     # keep normalization in the input dtype: f32 constants would promote a
     # bf16 batch to f32 and crash the first conv (weights stay bf16)
     mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
@@ -590,39 +732,73 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
 
     B = img0.shape[0]
     feats = backbone_forward(params["backbone"],
-                             jnp.concatenate([n0, n1], axis=0), precision)
-    feature0, feature1 = feats[:B], feats[B:]
-    feature0, feature1 = add_position(feature0, feature1, cfg.attn_splits)
-    feature0, feature1 = transformer_forward(params["transformer"], feature0,
-                                             feature1, cfg.attn_splits,
-                                             precision, cfg.attn_impl)
+                             jnp.concatenate([n0, n1], axis=0), precision,
+                             num_scales=cfg.num_scales)
+    if cfg.num_scales == 1:
+        feats = [feats]
+    feats0 = [f[:B] for f in feats]
+    feats1 = [f[B:] for f in feats]
+
+    attn_splits_l, corr_radius_l, prop_radius_l = cfg.scale_lists()
     blockwise = cfg.matching == "blockwise"
-    if blockwise:
-        flow = global_correlation_softmax_blockwise(
-            feature0, feature1, pred_bidir, cfg.key_chunk, precision)
-        flow = flow.astype(feature0.dtype)
-    else:
-        flow = global_correlation_softmax(feature0, feature1, pred_bidir,
-                                          precision)
+    flow = None
+    for si in range(cfg.num_scales):
+        feature0, feature1 = feats0[si], feats1[si]
+        if pred_bidir and si > 0:
+            # refinement scales carry fwd+bwd as a doubled batch
+            feature0 = jnp.concatenate([feats0[si], feats1[si]], axis=0)
+            feature1 = jnp.concatenate([feats1[si], feats0[si]], axis=0)
+        if si > 0:
+            h2, w2 = feature0.shape[1], feature0.shape[2]
+            flow = resize2d(flow.astype(jnp.float32), (h2, w2),
+                            method="linear", align_corners=True,
+                            precision=precision) * 2.0
+            flow = flow.astype(feature0.dtype)
+        if flow is not None:
+            feature1 = _flow_warp(feature1, flow)
 
-    prop_feat = jnp.concatenate([feature0, feature1], axis=0) if pred_bidir \
-        else feature0
-    flow = flow_propagation(params["flow_attn"], prop_feat, flow,
-                            cfg.key_chunk, precision, blockwise=blockwise)
+        attn_splits = attn_splits_l[si]
+        feature0, feature1 = add_position(feature0, feature1, attn_splits)
+        feature0, feature1 = transformer_forward(
+            params["transformer"], feature0, feature1, attn_splits,
+            precision, cfg.attn_impl)
 
-    concat = jnp.concatenate([flow.astype(prop_feat.dtype), prop_feat],
-                             axis=-1)
+        if corr_radius_l[si] == -1:  # global matching
+            if blockwise:
+                flow_pred = global_correlation_softmax_blockwise(
+                    feature0, feature1, pred_bidir and si == 0,
+                    cfg.key_chunk, precision).astype(feature0.dtype)
+            else:
+                flow_pred = global_correlation_softmax(
+                    feature0, feature1, pred_bidir and si == 0, precision)
+        else:
+            flow_pred = local_correlation_softmax(
+                feature0, feature1, corr_radius_l[si], precision)
+        flow = flow + flow_pred if flow is not None else flow_pred
+
+        if pred_bidir and si == 0:
+            feature0 = jnp.concatenate([feature0, feature1], axis=0)
+        if prop_radius_l[si] == -1:
+            flow = flow_propagation(params["flow_attn"], feature0, flow,
+                                    cfg.key_chunk, precision,
+                                    blockwise=blockwise)
+        else:
+            flow = flow_propagation_local(params["flow_attn"], feature0,
+                                          flow, prop_radius_l[si], precision)
+
+    concat = jnp.concatenate([flow.astype(feature0.dtype), feature0], axis=-1)
     y = jax.nn.relu(pnn.conv2d(params["upsampler"]["conv1"], concat, padding=1,
                                precision=precision))
     mask = pnn.conv2d(params["upsampler"]["conv2"], y, precision=precision)
-    return convex_upsample(flow, mask)
+    return convex_upsample(flow, mask, cfg.upsample_factor)
 
 
 def infer_pairs(params, image1, image2, cfg: GMFlowConfig = GMFlowConfig(),
                 precision=None, inference_size=None):
     """Bidirectional inference -> (fwd, bwd) [B, H, W, 2].
 
-    inference_size=None (default): pad H/W to a multiple of 16, infer, unpad
+    inference_size=None (default): pad H/W to a multiple of cfg.padding_factor
+    (16; 32 for refinement), infer, unpad
     (reference flow_gmflow.py:72-74). inference_size=(h, w): bilinear
     align_corners=True resize to (h, w), infer WITHOUT padding, resize the
     flow back and rescale its components by the size ratio (reference
@@ -641,8 +817,8 @@ def infer_pairs(params, image1, image2, cfg: GMFlowConfig = GMFlowConfig(),
                         align_corners=True)
         flow = flow * jnp.asarray([ow / iw, oh / ih], flow.dtype)
         return flow[:B], flow[B:]
-    i1, pads = pad_to_multiple(image1, 16)
-    i2, _ = pad_to_multiple(image2, 16)
+    i1, pads = pad_to_multiple(image1, cfg.padding_factor)
+    i2, _ = pad_to_multiple(image2, cfg.padding_factor)
     flow = forward(params, i1, i2, cfg, pred_bidir=True, precision=precision)
     flow = unpad(flow, pads)
     return flow[:B], flow[B:]
@@ -693,9 +869,13 @@ def init_params(rng: jax.Array, cfg: GMFlowConfig = GMFlowConfig(),
             b["down"] = conv(1, 1, cin, cout)
         blocks.append(b)
 
+    backbone = {"conv1": conv(7, 7, 3, 64, False), "blocks": blocks,
+                "conv2": conv(1, 1, 128, C)}
+    if cfg.num_scales > 1:
+        backbone["trident"] = conv(3, 3, C, C, False)
+
     return {
-        "backbone": {"conv1": conv(7, 7, 3, 64, False), "blocks": blocks,
-                     "conv2": conv(1, 1, 128, C)},
+        "backbone": backbone,
         "transformer": {"layers": [{"self": tlayer(True), "cross": tlayer(False)}
                                    for _ in range(cfg.num_transformer_layers)]},
         "flow_attn": {"q": lin(C, C), "k": lin(C, C)},

@@ -411,23 +411,26 @@ def _mask_head(p, net, precision=None):
     return 0.25 * pnn.conv2d(p["conv2"], y, precision=precision)
 
 
-def convex_upsample(flow, mask):
-    """flow [B, H, W, 2], mask [B, H, W, 576] -> [B, 8H, 8W, 2].
+def convex_upsample(flow, mask, factor: int = 8):
+    """flow [B, H, W, 2], mask [B, H, W, 9*factor^2] -> [B, fH, fW, 2].
 
-    mask channel layout follows the torch view(N, 1, 9, 8, 8, H, W): channel
-    c = (k*8 + i)*8 + j with k the 3x3 neighbor (row-major), (i, j) the subpixel.
+    mask channel layout follows the torch view(N, 1, 9, f, f, H, W): channel
+    c = (k*f + i)*f + j with k the 3x3 neighbor (row-major), (i, j) the
+    subpixel. factor=8 for RAFT/GMFlow, 4 for GMFlow-with-refinement
+    (gmflow/gmflow.py:75-90 upsample_flow).
     """
     B, H, W, _ = flow.shape
-    m = mask.reshape(B, H, W, 9, 8, 8)
+    f = factor
+    m = mask.reshape(B, H, W, 9, f, f)
     # manual softmax: jax.nn.softmax is a custom_jvp closed_call (see _relu)
     m = jnp.exp(m - m.max(axis=3, keepdims=True))
     m = m / m.sum(axis=3, keepdims=True)
-    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    fp = jnp.pad(float(f) * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     neighbors = jnp.stack([fp[:, ky:ky + H, kx:kx + W] for ky in range(3)
                            for kx in range(3)], axis=3)  # [B, H, W, 9, 2]
     up = jnp.einsum("bhwkij,bhwkc->bhwijc", m, neighbors)
     up = up.transpose(0, 1, 3, 2, 4, 5)  # (b, h, i, w, j, c)
-    return up.reshape(B, 8 * H, 8 * W, 2)
+    return up.reshape(B, f * H, f * W, 2)
 
 
 # ---------------------------------------------------------------------------

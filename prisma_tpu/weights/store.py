@@ -148,21 +148,25 @@ def load_raft(runtime: RuntimeConfig):
                            lambda: convert_raft(_load_torch_state_dict(path)))
 
 
-def load_gmflow(runtime: RuntimeConfig):
+def load_gmflow(runtime: RuntimeConfig, cfg=None):
     """GMFlow weights (reference: models/gmflow_sintel-0c07dcb3.pth,
-    flow_gmflow.py:35,60-63 — checkpoint wraps the state_dict under 'model')."""
+    flow_gmflow.py:35,60-63 — checkpoint wraps the state_dict under 'model').
+    A cfg with num_scales=2 loads the gmflow_with_refine checkpoint instead."""
     from prisma_tpu.models import gmflow as jgm
     from prisma_tpu.weights.torch_convert import convert_gmflow
 
+    refine = cfg is not None and cfg.num_scales > 1
     if runtime.random_weights:
-        return jgm.init_params(jax.random.key(2))
-    path = os.path.join(runtime.models_dir, "gmflow_sintel-0c07dcb3.pth")
+        return jgm.init_params(jax.random.key(2), cfg or jgm.GMFlowConfig())
+    name = ("gmflow_with_refine_sintel-3ed1cf48.pth" if refine
+            else "gmflow_sintel-0c07dcb3.pth")
+    path = os.path.join(runtime.models_dir, name)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"checkpoint {path} not found; place the gmflow checkpoint there "
             "or set runtime.random_weights=True for smoke runs")
     return _cached_convert(
-        runtime, "gmflow_sintel", path,
+        runtime, "gmflow_refine_sintel" if refine else "gmflow_sintel", path,
         lambda: convert_gmflow(_load_torch_state_dict(path)))
 
 

@@ -210,13 +210,18 @@ def convert_gmflow(sd: dict, num_layers: int = 6, dtype=jnp.float32) -> dict:
             p["norm2"] = _norm(sd, prefix + "norm2", dtype)
         return p
 
+    backbone = {
+        "conv1": _conv(sd, "backbone.conv1", dtype),
+        "blocks": [bb_block(n) for n in ("layer1.0", "layer1.1", "layer2.0",
+                                         "layer2.1", "layer3.0", "layer3.1")],
+        "conv2": _conv(sd, "backbone.conv2", dtype),
+    }
+    if "backbone.trident_conv.weight" in sd:
+        # gmflow_with_refine (num_scales=2): weight-shared multi-stride conv
+        backbone["trident"] = _conv(sd, "backbone.trident_conv", dtype)
+
     return {
-        "backbone": {
-            "conv1": _conv(sd, "backbone.conv1", dtype),
-            "blocks": [bb_block(n) for n in ("layer1.0", "layer1.1", "layer2.0",
-                                             "layer2.1", "layer3.0", "layer3.1")],
-            "conv2": _conv(sd, "backbone.conv2", dtype),
-        },
+        "backbone": backbone,
         "transformer": {"layers": [
             {"self": tlayer(f"transformer.layers.{i}.self_attn.", True),
              "cross": tlayer(f"transformer.layers.{i}.cross_attn_ffn.", False)}

@@ -68,3 +68,18 @@ def test_gmflow_inference_size_identity():
                              inference_size=(32, 48))
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_flow_gmflow_refine_band_e2e(tmp_path):
+    """--num_scales 2 (gmflow_with_refine) through the band driver."""
+    from prisma_tpu.models import gmflow as jgm
+
+    folder = _make_folder(tmp_path, frames=3, w=96, h=64)
+    runtime = RuntimeConfig(batch_size=3, compute_dtype="float32",
+                            random_weights=True)
+    flow_gmflow_band.run(folder, backwards=False, mask=False,
+                         cfg=jgm.refine_config(), runtime=runtime)
+    files = sorted(os.listdir(folder))
+    assert "flow_gmflow.mp4" in files and "flow_gmflow.csv" in files
+    dists = open(os.path.join(folder, "flow_gmflow.csv")).read().splitlines()
+    assert len(dists) == 3 and float(dists[-1]) == 0.0

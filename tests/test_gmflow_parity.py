@@ -130,3 +130,64 @@ def test_backbone_s2d_matches_plain():
     b = jgm.backbone_forward(params["backbone"], x, precision="highest",
                              impl="s2d")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_gmflow_refine():
+    """2-scale gmflow_with_refine architecture (reference flow_gmflow.py
+    --num_scales 2 --upsample_factor 4 ... CLI surface)."""
+    if REF_BANDS not in sys.path:
+        sys.path.insert(0, REF_BANDS)
+    torch.manual_seed(1)
+    from gmflow.gmflow import GMFlow
+    model = GMFlow(num_scales=2, upsample_factor=4, feature_channels=128,
+                   attention_type="swin", num_transformer_layers=6,
+                   ffn_dim_expansion=4, num_head=1)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.mul_(0.5)
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_gmflow_refine_forward_parity(ref_gmflow_refine, bidir):
+    """2-scale refinement (local corr matching + local-window propagation +
+    trident backbone + x4 convex upsample) vs the reference torch model."""
+    H, W = 64, 96
+    rng = np.random.default_rng(7)
+    img0 = rng.uniform(0, 255, size=(1, H, W, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 10, size=img0.shape), 0, 255).astype(np.float32)
+
+    t0 = torch.from_numpy(img0.transpose(0, 3, 1, 2))
+    t1 = torch.from_numpy(img1.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out = ref_gmflow_refine(t0, t1, attn_splits_list=[2, 8],
+                                corr_radius_list=[-1, 4],
+                                prop_radius_list=[-1, 1],
+                                pred_bidir_flow=bidir)
+    theirs = out["flow_preds"][-1].permute(0, 2, 3, 1).numpy()
+
+    params = convert_gmflow(ref_gmflow_refine.state_dict())
+    cfg = jgm.refine_config(matching="dense")
+    ours = np.asarray(jgm.forward(params, img0, img1, cfg, pred_bidir=bidir,
+                                  precision="highest"))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_gmflow_refine_blockwise_matches_dense(bidir):
+    import jax
+    H, W = 64, 96
+    rng = np.random.default_rng(9)
+    params = jgm.init_params(jax.random.key(3), jgm.refine_config())
+    img0 = rng.uniform(0, 255, size=(1, H, W, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 10, size=img0.shape), 0, 255).astype(np.float32)
+    dense = np.asarray(jgm.forward(
+        params, img0, img1, jgm.refine_config(matching="dense"),
+        pred_bidir=bidir, precision="highest"))
+    block = np.asarray(jgm.forward(
+        params, img0, img1, jgm.refine_config(matching="blockwise", key_chunk=41),
+        pred_bidir=bidir, precision="highest"))
+    np.testing.assert_allclose(block, dense, atol=1e-3)
