@@ -11,7 +11,11 @@ Parity target: the vendored pipeline (`bands/marigold/marigold_pipeline.py`):
 
 TPU design: ensemble members ride the batch axis through ONE jitted scan over
 the DDIM steps (the reference loops steps and batches in Python); the
-scale/shift BFGS is a tiny host-side solve on downsampled maps.
+scale/shift ensembling runs as ONE jitted on-device BFGS solve
+(`ensemble_depths_device`, jax.scipy.optimize) — the reference drives a
+device closure from host scipy with numeric gradients (~70 full-map evals,
+measured 6.6 s/frame of the 7.9 s round-2 total when replicated on host);
+the host replica (`ensemble_depths`) is kept as the parity oracle.
 """
 
 from __future__ import annotations
@@ -232,6 +236,68 @@ def ensemble_depths(depth_preds: np.ndarray, regularizer_strength: float = 0.02,
     return aligned, mad
 
 
+def _ensemble_objective(x, preds, regularizer_strength):
+    """Reference ensemble.py:78-101 closure: RMS of pairwise distances of the
+    affine-transformed members + near/far regularizers on the median map.
+    |.| instead of sqrt((.)^2): same value, finite gradient at 0 (the init
+    scaling puts every member's min exactly at 0)."""
+    n = preds.shape[0]
+    s = x[:n, None, None]
+    t = x[n:, None, None]
+    transformed = preds * s + t
+    ii, jj = np.triu_indices(n, k=1)
+    dists = transformed[ii] - transformed[jj]
+    sqrt_dist = jnp.sqrt(jnp.mean(jnp.square(dists)))
+    pred = jnp.median(transformed, axis=0)
+    near_err = jnp.abs(0.0 - pred.min())
+    far_err = jnp.abs(1.0 - pred.max())
+    return sqrt_dist + (near_err + far_err) * regularizer_strength
+
+
+@functools.lru_cache(maxsize=None)
+def _ensemble_solver(n, regularizer_strength, max_iter, tol):
+    from jax.scipy.optimize import minimize
+
+    def solve(preds):
+        flat = preds.reshape(n, -1)
+        _min = flat.min(axis=1)
+        _max = flat.max(axis=1)
+        s0 = 1.0 / (_max - _min)
+        x0 = jnp.concatenate([s0, -s0 * _min])
+        res = minimize(
+            functools.partial(_ensemble_objective, preds=preds,
+                              regularizer_strength=regularizer_strength),
+            x0, method="BFGS", tol=tol, options={"maxiter": max_iter})
+        s = res.x[:n, None, None]
+        t = res.x[n:, None, None]
+        transformed = preds * s + t
+        aligned = jnp.median(transformed, axis=0)
+        mad = jnp.median(jnp.abs(transformed - aligned), axis=0)
+        mn, mx = aligned.min(), aligned.max()
+        return (aligned - mn) / (mx - mn), mad / (mx - mn)
+
+    return jax.jit(solve)
+
+
+def ensemble_depths_device(depth_preds, regularizer_strength: float = 0.02,
+                           max_iter: int = 2, tol: float = 1e-3):
+    """On-device scale/shift ensembling — the production path.
+
+    Same objective/reduction as `ensemble_depths` (reference
+    ensemble.py:41-133) but solved as ONE jitted BFGS (analytic gradients via
+    autodiff) instead of host scipy numeric-gradient BFGS driving ~70
+    full-resolution closure evaluations. The two solvers take slightly
+    different 2-iteration trajectories, so aligned maps agree only to ~1e-2
+    after renormalization (tests/test_marigold.py pins the bound); the host
+    version stays as the byte-parity oracle vs the reference.
+    """
+    n = int(depth_preds.shape[0])
+    aligned, mad = _ensemble_solver(
+        n, float(regularizer_strength), int(max_iter),
+        float(tol))(jnp.asarray(depth_preds, jnp.float32))
+    return np.asarray(aligned), np.asarray(mad)
+
+
 @functools.lru_cache(maxsize=None)
 def _infer_fn(num_steps, unet_cfg, precision):
     """Jitted DDIM-scan pipeline, cached by static config so video drivers do
@@ -292,7 +358,7 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
                        dtype=np.float32)[:ensemble_size]
 
     if ensemble_size > 1:
-        depth, _uncert = ensemble_depths(preds)
+        depth, _uncert = ensemble_depths_device(preds)
     else:
         depth = preds[0]
     mn, mx = depth.min(), depth.max()

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
-"""Per-stage GMFlow profile at the production 810x1440 bidir config.
-
-Attributes the step time to backbone / transformer / matching / propagation /
-upsample so perf work aims at the real bound. Run alone (one TPU owner)."""
+"""GMFlow transformer-internals profile at the bench shape (810x1440, 2
+pairs bidir, bf16): attributes the ~95 ms transformer stage across attention
+kernels, linears/FFN, and window split/merge data movement so the next
+optimization targets the real cost. Run alone (one TPU owner).
+"""
+import functools
 import os
 import sys
 import time
@@ -15,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from prisma_tpu.models import gmflow as jgm
-from prisma_tpu.ops import nn as pnn
 from prisma_tpu.weights.store import cast_params
 
 
@@ -30,69 +31,75 @@ def timeit(fn, *args, iters=5):
 
 
 def main():
-    pairs = int(os.environ.get("PAIRS", "4"))
-    h, w = 816, 1440  # /16-padded production shape
-    params = jax.device_put(cast_params(
-        jgm.init_params(jax.random.key(2)), jnp.bfloat16))
     cfg = jgm.GMFlowConfig()
+    params = jax.device_put(cast_params(
+        jgm.init_params(jax.random.key(0), cfg), jnp.bfloat16))
     rng = np.random.default_rng(0)
-    i1 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
-    i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    pairs = 2
+    H, W = 816, 1440            # after /16 padding of 810
+    h8, w8 = H // 8, W // 8     # 102 x 180 = 18360 tokens
+    B = 2 * pairs               # bidir doubles pairs to images
+    C = cfg.feature_channels
+    ns = cfg.attn_splits
 
+    f0 = jax.device_put(rng.normal(size=(B, h8, w8, C)).astype(jnp.bfloat16))
+    f1 = jax.device_put(rng.normal(size=(B, h8, w8, C)).astype(jnp.bfloat16))
+
+    for impl in ("flash", "xla"):
+        t = timeit(jax.jit(functools_partial_transformer(impl)),
+                   params["transformer"], f0, f1)
+        print(f"transformer_forward[{impl}]: {t*1e3:.1f} ms")
+
+    # attention alone: one shifted + one unshifted window attention at the
+    # exact shapes the 6 blocks use ([2B, L, C] doubled features)
+    q = jax.device_put(rng.normal(size=(2 * B, h8 * w8, C)).astype(jnp.bfloat16))
+    ids = jgm.shift_window_region_ids(h8, w8, ns)
+    for name, m in (("unshifted", None), ("shifted", ids)):
+        for impl in ("flash", "xla"):
+            fn = jax.jit(functools.partial(
+                jgm._window_attention, h=h8, w=w8, ns=ns, ids=m, impl=impl))
+            t = timeit(fn, q, q, q)
+            print(f"window_attention {name} [{impl}] x1: {t*1e3:.2f} ms "
+                  f"(x12 = {t*12e3:.0f} ms)")
+
+    # linears/FFN/layernorm only: attention replaced by identity
+    real_attn = jgm._window_attention
+    jgm._window_attention = lambda q, k, v, *a, **kw: v
+    try:
+        t = timeit(jax.jit(functools_partial_transformer("xla")),
+                   params["transformer"], f0, f1)
+        print(f"transformer linears+ffn+ln only (attn=identity): {t*1e3:.1f} ms")
+    finally:
+        jgm._window_attention = real_attn
+
+    # window split/merge + roll data movement alone
     @jax.jit
-    def full(params, a, b):
-        return jgm.infer_pairs(params, a.astype(jnp.bfloat16),
-                               b.astype(jnp.bfloat16), cfg)
+    def winmove(x):
+        y = x.reshape(2 * B, h8, w8, C)
+        y = jnp.roll(y, (-(h8 // ns // 2), -(w8 // ns // 2)), axis=(1, 2))
+        y = jgm._split_windows(y, ns)
+        y = jgm._merge_windows(y, ns)
+        y = jnp.roll(y, (h8 // ns // 2, w8 // ns // 2), axis=(1, 2))
+        return y.reshape(2 * B, h8 * w8, C)
 
-    t = timeit(full, params, i1, i2)
-    print(f"full step ({pairs} pairs): {t*1e3:.1f} ms  "
-          f"-> {pairs / t:.1f} pair-fps")
+    print(f"split+merge+2rolls x1: {timeit(winmove, q)*1e3:.2f} ms "
+          f"(x~12 = {timeit(winmove, q)*12e3:.0f} ms)")
 
-    B = pairs
-    H1, W1 = h // 8, w // 8
-    f0 = jax.device_put(rng.normal(size=(B, H1, W1, 128)).astype(jnp.bfloat16))
-    f1 = jax.device_put(rng.normal(size=(B, H1, W1, 128)).astype(jnp.bfloat16))
-    imgs = jax.device_put(
-        rng.normal(size=(2 * B, h, w, 3)).astype(jnp.bfloat16))
+    # the other stages for context
+    img0 = jax.device_put(rng.uniform(0, 255, (pairs, 810, 1440, 3))
+                          .astype(jnp.bfloat16))
+    img1 = jax.device_put(rng.uniform(0, 255, (pairs, 810, 1440, 3))
+                          .astype(jnp.bfloat16))
+    t = timeit(jax.jit(lambda p, a, b: jgm.infer_pairs(p, a, b, cfg)),
+               params, img0, img1)
+    print(f"infer_pairs full: {t*1e3:.0f} ms => {pairs/t:.1f} pair-fps "
+          f"(at {pairs} pairs)")
 
-    @jax.jit
-    def bb(p, x):
-        return jgm.backbone_forward(p["backbone"], x)
 
-    print(f"backbone (2B={2*B} imgs): {timeit(bb, params, imgs)*1e3:.1f} ms")
-
-    @jax.jit
-    def tr(p, a, b):
-        return jgm.transformer_forward(p["transformer"], a, b,
-                                       cfg.attn_splits, None, cfg.attn_impl)
-
-    print(f"transformer: {timeit(tr, params, f0, f1)*1e3:.1f} ms")
-
-    @jax.jit
-    def match(a, b):
-        return jgm.global_correlation_softmax_blockwise(a, b, True,
-                                                        cfg.key_chunk)
-
-    print(f"matching (bidir): {timeit(match, f0, f1)*1e3:.1f} ms")
-
-    flow = jax.device_put(
-        rng.normal(size=(2 * B, H1, W1, 2)).astype(np.float32))
-    pf = jnp.concatenate([f0, f1], axis=0)
-
-    @jax.jit
-    def prop(p, feat, fl):
-        return jgm.flow_propagation(p["flow_attn"], feat, fl, cfg.key_chunk)
-
-    print(f"propagation (2B): {timeit(prop, params, pf, flow)*1e3:.1f} ms")
-
-    @jax.jit
-    def ups(p, feat, fl):
-        concat = jnp.concatenate([fl.astype(feat.dtype), feat], axis=-1)
-        y = jax.nn.relu(pnn.conv2d(p["upsampler"]["conv1"], concat, padding=1))
-        mask = pnn.conv2d(p["upsampler"]["conv2"], y)
-        return jgm.convex_upsample(fl, mask)
-
-    print(f"upsample (2B): {timeit(ups, params, pf, flow)*1e3:.1f} ms")
+def functools_partial_transformer(impl):
+    def run(tp, f0, f1):
+        return jgm.transformer_forward(tp, f0, f1, 2, None, impl)
+    return run
 
 
 if __name__ == "__main__":

@@ -80,6 +80,11 @@ def main():
     mg.ensemble_depths(preds)
     print(f"host BFGS ensemble: {(time.perf_counter()-t0)*1e3:.0f} ms")
 
+    mg.ensemble_depths_device(preds)  # warm (trace + compile)
+    t0 = time.perf_counter()
+    mg.ensemble_depths_device(preds)
+    print(f"device BFGS ensemble: {(time.perf_counter()-t0)*1e3:.0f} ms")
+
     # the production path end-to-end (resize + infer + ensemble + resize back)
     frame = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
     mg.infer(params, frame, denoising_steps=10, ensemble_size=ens,

@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
-"""Per-stage RAFT profile on the real chip: separates volume build, the
-per-iteration lookup, and the per-iteration update block so the 4.48 pair-fps
-number can be attributed (VERDICT round-2 item 2: lift flow_raft to >=1.0x or
-prove the bound). Run alone — only one process may own the tunneled TPU."""
+"""RAFT per-stage profile at the bench shape (810x1440, 2 fwd+bwd pairs,
+20 iters, bf16, corr_impl=volume_onehot) — attributes the pair-fps number
+across backbone/volume build, the 20-iter corr lookups, and the 20-iter
+GRU/motion-encoder block so the VERDICT round-2 item 2 question (lookup
+roofline vs GRU compute) is answered with measurements, not estimates.
+
+Each isolated scan consumes EVERY output channel (sum) — XLA DCEs unused
+taps/levels through a scan and a "0 ms" lookup just means nothing read it
+(CLAUDE.md perf notes). Run alone (one TPU owner).
+"""
 import os
 import sys
 import time
@@ -18,7 +24,7 @@ from prisma_tpu.models import raft as jraft
 from prisma_tpu.weights.store import cast_params
 
 
-def timeit(fn, *args, iters=3):
+def timeit(fn, *args, iters=4):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -29,62 +35,102 @@ def timeit(fn, *args, iters=3):
 
 
 def main():
-    h, w = 810, 1440
-    pairs = 2
+    cfg = jraft.RAFTConfig()
     params = jax.device_put(cast_params(
-        jraft.init_params(jax.random.key(1)), jnp.bfloat16))
+        jraft.init_params(jax.random.key(0)), jnp.bfloat16))
     rng = np.random.default_rng(0)
-    i1 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
-    i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    B = 2  # pairs; fwd+bwd doubles to 4 images through forward()
+    H, W = 810, 1440
+    img1 = jax.device_put(rng.uniform(0, 255, (B, H, W, 3)).astype(jnp.bfloat16))
+    img2 = jax.device_put(rng.uniform(0, 255, (B, H, W, 3)).astype(jnp.bfloat16))
 
-    def step(it):
-        @jax.jit
-        def f(params, a, b):
-            return jraft.infer_pairs(params, a.astype(jnp.bfloat16),
-                                     b.astype(jnp.bfloat16), iters=it,
-                                     corr_impl="volume_onehot")
-        return f
+    t_full = timeit(jax.jit(lambda p, a, b: jraft.infer_pairs(
+        p, a, b, corr_impl="volume_onehot")), params, img1, img2)
+    print(f"infer_pairs full (volume_onehot): {t_full*1e3:.0f} ms "
+          f"=> {B/t_full:.2f} pair-fps")
 
-    for it in (1, 2, 20):
-        t = timeit(step(it), params, i1, i2)
-        print(f"full step iters={it}: {t*1e3:.1f} ms")
-
-    # isolate the lookup: pyramid build + N lookups with changing coords,
-    # consuming every channel (sum) so XLA cannot DCE taps/levels
-    B = 2 * pairs
-    hp, wp = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    H1, W1 = hp // 8, wp // 8
-    fm1 = jax.device_put(rng.normal(size=(B, H1, W1, 256)).astype(jnp.bfloat16))
-    fm2 = jax.device_put(rng.normal(size=(B, H1, W1, 256)).astype(jnp.bfloat16))
+    # pieces at the padded/doubled shape forward() actually sees
+    i1, _ = jraft.pad_to_multiple(img1)
+    i2, _ = jraft.pad_to_multiple(img2)
+    a = jnp.concatenate([i1, i2], axis=0)
+    b = jnp.concatenate([i2, i1], axis=0)
 
     @jax.jit
-    def build(a, b):
-        return tuple(jraft.build_corr_pyramid(a, b, 4))
+    def feats_and_pyramid(p, a, b):
+        n1 = 2.0 * (a / 255.0) - 1.0
+        n2 = 2.0 * (b / 255.0) - 1.0
+        both = jnp.concatenate([n1, n2], axis=0)
+        fmaps = jraft.encoder_forward(p["fnet"], both, "instance")
+        Bb = a.shape[0]
+        pyr = jraft.build_corr_pyramid(fmaps[:Bb], fmaps[Bb:], cfg.corr_levels)
+        cnet = jraft.encoder_forward(p["cnet"], n1, "affine")
+        return pyr, cnet
 
-    pyr = build(fm1, fm2)
-    print("pyramid shapes:", [p.shape for p in pyr])
-    tb = timeit(build, fm1, fm2)
-    print(f"volume+pyramid build: {tb*1e3:.1f} ms")
+    t_pre = timeit(feats_and_pyramid, params, a, b)
+    print(f"backbone + volume pyramid + cnet: {t_pre*1e3:.0f} ms")
 
-    gx, gy = jnp.meshgrid(jnp.arange(W1, dtype=jnp.float32),
-                          jnp.arange(H1, dtype=jnp.float32))
-    coords0 = jnp.stack([gx, gy], axis=-1)[None].repeat(B, 0)  # [B,H1,W1,2]
+    pyr, cnet = feats_and_pyramid(params, a, b)
+    pyr = jax.device_put(pyr)
+    Bb, H8, W8 = 2 * B, pyr[0].shape[1], pyr[0].shape[2]
+    gx, gy = jnp.meshgrid(jnp.arange(W8, dtype=jnp.float32),
+                          jnp.arange(H8, dtype=jnp.float32))
+    coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (Bb, H8, W8, 2))
 
-    def lookup_n(n_it):
-        @jax.jit
-        def f(pyr, c0):
-            def body(c, k):
-                win = jraft.corr_lookup(pyr, c, 4, onehot=True)
-                # consume EVERY channel and feed back into coords
-                d = jnp.mean(win, axis=-1, keepdims=True)
-                return c + jnp.concatenate([d, -d], -1) * 1e-3, jnp.sum(win)
-            c, s = jax.lax.scan(body, c0, jnp.arange(n_it))
-            return jnp.sum(s) + jnp.sum(c)
-        return f
+    @jax.jit
+    def lookup_only(pyr, c0):
+        def step(coords, _):
+            corr = jraft.corr_lookup(pyr, coords, cfg.corr_radius, onehot=True)
+            # consume every channel; drift coords so iterations differ
+            drift = jnp.mean(corr.astype(jnp.float32), axis=-1, keepdims=True)
+            return coords + jnp.concatenate([drift, -drift], -1) * 1e-3, None
+        out, _ = jax.lax.scan(step, c0, None, length=cfg.iters)
+        return out
 
-    for n_it in (1, 2, 20):
-        t = timeit(lookup_n(n_it), pyr, coords0)
-        print(f"lookup x{n_it} (scan, all channels consumed): {t*1e3:.1f} ms")
+    t_lk = timeit(lookup_only, pyr, coords0)
+    print(f"20x corr_lookup(onehot) only: {t_lk*1e3:.0f} ms "
+          f"({t_lk/cfg.iters*1e3:.1f} ms/iter)")
+
+    dtype = jnp.bfloat16
+    net0 = jnp.tanh(cnet[..., :cfg.hidden_dim])
+    inp = jraft._relu(cnet[..., cfg.hidden_dim:])
+    n_corr = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+
+    @jax.jit
+    def gru_only(p, net0, inp, c0):
+        def step(carry, _):
+            net, coords1 = carry
+            # stand-in corr that depends on the carry (same shape/dtype as a
+            # real lookup) so nothing folds out of the loop
+            corr = jnp.broadcast_to(
+                jnp.mean(net, -1, keepdims=True).astype(dtype),
+                net.shape[:3] + (n_corr,))
+            flow = (coords1 - c0).astype(dtype)
+            motion = jraft._motion_encoder(p["update"]["encoder"], flow, corr)
+            gru_in = jnp.concatenate([inp, motion], axis=-1)
+            net = jraft._sep_conv_gru(p["update"]["gru"], net, gru_in)
+            delta = jraft._flow_head(p["update"]["flow_head"], net)
+            return (net, coords1 + delta.astype(jnp.float32)), None
+        (net, c1), _ = jax.lax.scan(step, (net0, c0), None, length=cfg.iters)
+        return c1
+
+    t_gru = timeit(gru_only, params, net0, inp, coords0)
+    print(f"20x motion+GRU+flow_head only: {t_gru*1e3:.0f} ms "
+          f"({t_gru/cfg.iters*1e3:.1f} ms/iter)")
+
+    @jax.jit
+    def upsample_only(p, net0, c0):
+        up_mask = jraft._mask_head(p["update"]["mask"], net0)
+        return jraft.convex_upsample(c0, up_mask.astype(jnp.float32))
+
+    print(f"mask head + convex upsample: {timeit(upsample_only, params, net0, coords0)*1e3:.0f} ms")
+
+    # roofline context: physical (tile-padded) volume bytes per lookup
+    phys = 0
+    for v in pyr:
+        n, h, w = v.shape
+        phys += n * (-(-h // 8) * 8) * (-(-w // 128) * 128) * v.dtype.itemsize
+    print(f"pyramid physical bytes (8,128-tiled): {phys/1e9:.2f} GB "
+          f"-> @819GB/s floor {phys/819e9*1e3:.1f} ms/iter")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,22 @@ def test_ensemble_parity_with_reference():
     np.testing.assert_allclose(o_unc, t_unc.numpy(), atol=5e-3)
 
 
+def test_ensemble_device_matches_host():
+    """The production on-device BFGS ensembling lands within ~1e-2 of the
+    host scipy replica after renormalization (different 2-iteration solver
+    trajectories; see ensemble_depths_device docstring)."""
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 1, size=(24, 32)).astype(np.float32)
+    preds = np.stack([base * rng.uniform(0.7, 1.3) + rng.uniform(-0.2, 0.2)
+                      + rng.normal(0, 0.005, size=base.shape).astype(np.float32)
+                      for _ in range(6)]).astype(np.float32)
+    host, h_unc = jmar.ensemble_depths(preds.copy())
+    dev, d_unc = jmar.ensemble_depths_device(preds.copy())
+    assert dev.shape == host.shape and d_unc.shape == h_unc.shape
+    np.testing.assert_allclose(dev, host, atol=2e-2)
+    np.testing.assert_allclose(d_unc, h_unc, atol=2e-2)
+
+
 def test_unet_forward_shapes():
     params = jmar.init_params(jax.random.key(0), TINY_UNET, TINY_VAE)
     x = jnp.zeros((2, 16, 24, 8))
