@@ -391,10 +391,20 @@ def _conv_5x1(p, x, precision=None):
 
 
 def _sep_conv_gru(p, h, x, precision=None):
+    """z and r share the same [h, x] input, so their convs run as ONE conv
+    with concatenated output channels (bit-identical: each output channel is
+    an independent dot product) — one pass over the 4x[102,180,384+] hx
+    activation per gate pair instead of two. The weight concat is
+    loop-invariant and hoisted out of the GRU scan by XLA."""
+    C = h.shape[-1]
     for conv, suffix in ((_conv_1x5, "1"), (_conv_5x1, "2")):
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(conv(p["convz" + suffix], hx, precision))
-        r = jax.nn.sigmoid(conv(p["convr" + suffix], hx, precision))
+        zr_p = {"w": jnp.concatenate([p["convz" + suffix]["w"],
+                                      p["convr" + suffix]["w"]], axis=-1),
+                "b": jnp.concatenate([p["convz" + suffix]["b"],
+                                      p["convr" + suffix]["b"]], axis=-1)}
+        zr = jax.nn.sigmoid(conv(zr_p, hx, precision))
+        z, r = zr[..., :C], zr[..., C:]
         q = jnp.tanh(conv(p["convq" + suffix],
                           jnp.concatenate([r * h, x], -1), precision))
         h = (1 - z) * h + z * q

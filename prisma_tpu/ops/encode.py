@@ -22,6 +22,10 @@ mapped over a batch of frames.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -90,6 +94,46 @@ def float_to_rgb(value: jax.Array, min_value=0.0, max_value=1.0, base: int = 256
     mid = jnp.mod(jnp.floor(L / base), base)
     hi = jnp.mod(jnp.floor(L / (base * base)), base)
     return jnp.stack([lo, mid, hi], axis=-1) / (base - 1.0)
+
+
+def nearest_power_of_two(x: float) -> int:
+    """Smallest power of two >= x (reference encode.py:129-131)."""
+    return int(2 ** math.ceil(math.log(x) / math.log(2)))
+
+
+def encode_data_into_img(data, min_value=0.0, max_value=1.0, base: int = 256,
+                         gain: float = 1.0):
+    """Pack an [N] or [N, 1|3|4] data array into a square power-of-two
+    data-texture image (reference encode.py:149-231), vectorized.
+
+    Scalar data packs each value into 24-bit RGB fixed point via
+    `float_to_rgb(value*gain, 0, max_value)`; 3/4-vector data min/max
+    normalizes per channel. Reference quirks preserved: scalar values land
+    at img[x, y] (transposed) while vectors land at img[y, x], and the
+    scalar path ignores min_value (packs against [0, max_value]).
+    """
+    data = np.asarray(data)
+    n = data.shape[0]
+    k = 1 if data.ndim == 1 else data.shape[1]
+    size = nearest_power_of_two(math.sqrt(n)) if n > 1 else 1
+    img = np.zeros((size, size, max(3, k)), np.float64)
+    idx = np.arange(n)
+    xs, ys = idx % size, idx // size
+    if k == 1:
+        # float64 numpy (not the jnp float_to_rgb): f32 rounding flips floor
+        # boundaries by 1/255 vs the reference's float64 packing
+        vals = data.reshape(-1).astype(np.float64) * gain
+        span = float(base) ** 3 - 1.0
+        L = np.clip(vals / float(max_value), 0.0, 1.0) * span
+        img[xs, ys] = np.stack([np.floor(L % base),
+                                np.floor(L / base) % base,
+                                np.floor(L / (base * base)) % base],
+                               axis=-1) / (base - 1.0)
+    else:
+        lo = np.broadcast_to(np.asarray(min_value, np.float64), (k,))
+        hi = np.broadcast_to(np.asarray(max_value, np.float64), (k,))
+        img[ys, xs] = (data - lo) / (hi - lo)
+    return img
 
 
 def depth_to_heatmap(

@@ -76,19 +76,45 @@ def main():
                           jnp.arange(H8, dtype=jnp.float32))
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (Bb, H8, W8, 2))
 
-    @jax.jit
-    def lookup_only(pyr, c0):
-        def step(coords, _):
-            corr = jraft.corr_lookup(pyr, coords, cfg.corr_radius, onehot=True)
-            # consume every channel; drift coords so iterations differ
-            drift = jnp.mean(corr.astype(jnp.float32), axis=-1, keepdims=True)
-            return coords + jnp.concatenate([drift, -drift], -1) * 1e-3, None
-        out, _ = jax.lax.scan(step, c0, None, length=cfg.iters)
-        return out
+    def lookup_scan(onehot):
+        @jax.jit
+        def lookup_only(pyr, c0):
+            def step(coords, _):
+                corr = jraft.corr_lookup(pyr, coords, cfg.corr_radius,
+                                         onehot=onehot)
+                # consume every channel; drift coords so iterations differ
+                drift = jnp.mean(corr.astype(jnp.float32), -1, keepdims=True)
+                return coords + jnp.concatenate([drift, -drift], -1) * 1e-3, \
+                    None
+            out, _ = jax.lax.scan(step, c0, None, length=cfg.iters)
+            return out
+        return lookup_only
 
-    t_lk = timeit(lookup_only, pyr, coords0)
+    t_lk = timeit(lookup_scan(True), pyr, coords0)
     print(f"20x corr_lookup(onehot) only: {t_lk*1e3:.0f} ms "
           f"({t_lk/cfg.iters*1e3:.1f} ms/iter)")
+    t_tk = timeit(lookup_scan(False), pyr, coords0)
+    print(f"20x corr_lookup(take_along) only: {t_tk*1e3:.0f} ms "
+          f"({t_tk/cfg.iters*1e3:.1f} ms/iter)")
+
+    # per-level onehot cost: time scans that look up ONE level each
+    full_pyr = list(pyr)
+    for li, vol in enumerate(full_pyr):
+        @jax.jit
+        def one_level(vol, c0, li=li):
+            def step(coords, _):
+                cx = coords[..., 0].reshape(-1) / (2 ** li)
+                cy = coords[..., 1].reshape(-1) / (2 ** li)
+                win = jraft._window_onehot_lookup(vol, cx, cy,
+                                                  cfg.corr_radius)
+                drift = jnp.mean(win.astype(jnp.float32), -1)
+                drift = drift.reshape(coords.shape[:3] + (1,))
+                return coords + jnp.concatenate([drift, -drift], -1) * 1e-3, \
+                    None
+            out, _ = jax.lax.scan(step, c0, None, length=cfg.iters)
+            return out
+        t_l = timeit(one_level, vol, coords0)
+        print(f"  level {li} {tuple(vol.shape)}: {t_l/cfg.iters*1e3:.2f} ms/iter")
 
     dtype = jnp.bfloat16
     net0 = jnp.tanh(cnet[..., :cfg.hidden_dim])

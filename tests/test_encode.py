@@ -140,3 +140,23 @@ def test_write_flow_png16_golden(tmp_path):
     write_flow_png16(ours_path, np.asarray(enc.encode_flow(flow, mask)))
     cv2.imwrite(ref_path, ref.encode_flow(flow.copy(), mask.copy()))
     assert open(ours_path, "rb").read() == open(ref_path, "rb").read()
+
+
+def test_encode_data_into_img_matches(capsys):
+    """Vectorized data-texture packer vs the reference (scalar + 3-vector +
+    4-vector paths, incl. the reference's transposed scalar write quirk)."""
+    scal = RNG.uniform(0, 5, size=(10,)).astype(np.float64)
+    ours = enc.encode_data_into_img(scal, max_value=5.0, gain=0.9)
+    theirs = ref.encode_data_into_img(scal.copy(), max_value=5.0, gain=0.9)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    vec3 = RNG.uniform(-2, 2, size=(21, 3)).astype(np.float64)
+    ours = enc.encode_data_into_img(vec3, min_value=-2.0, max_value=2.0)
+    theirs = ref.encode_data_into_img(vec3.copy(), min_value=-2.0, max_value=2.0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+    vec4 = RNG.uniform(0, 1, size=(5, 4)).astype(np.float64)
+    ours = enc.encode_data_into_img(vec4, min_value=0.0, max_value=1.0)
+    theirs = ref.encode_data_into_img(vec4.copy(), min_value=0.0, max_value=1.0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+    capsys.readouterr()  # swallow the reference's debug prints
