@@ -403,9 +403,17 @@ def _full_attention(q, k, v, precision=None):
 
 
 def _layer_norm(p, x, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return ((x - mu) * jax.lax.rsqrt(var + eps)) * p["scale"] + p["bias"]
+    """Single-pass f32-moment layer norm (same treatment as the backbone's
+    instance norm): E[x^2]-E[x]^2 in ONE read of the activation, moments in
+    f32 so a bf16 production pass keeps accurate statistics, output cast back
+    to the input dtype."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
