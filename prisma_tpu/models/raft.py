@@ -331,6 +331,38 @@ def _window_onehot_lookup(vol, cx, cy, r: int, precision=None):
     return win.reshape(cx.shape[0], n * n)
 
 
+def _window_onehot_lookup_xf(vol, cx, cy, r: int, precision=None):
+    """`_window_onehot_lookup` with the X contraction FIRST and the
+    intermediate stored H-minor: the x-selected slab [N, p, Hl] keeps Hl on
+    the 128-lane axis (less tile padding than the row-first form's
+    [N, p, Wl] at Wl=180->256) and the second (y) one-hot then contracts the
+    slab's lanes. Same semantics/quirks; exactness pinned by
+    tests/test_raft_parity.py::test_onehot_xfirst_matches."""
+    N, H, W = vol.shape
+    n = 2 * r + 1
+    p = n + 1
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[:, None, None]
+    fy = (cy - y0)[:, None, None]
+    xb = x0.astype(jnp.int32) - r
+    yb = y0.astype(jnp.int32) - r
+    ks = jnp.arange(p, dtype=jnp.int32)
+    yi = yb[:, None] + ks[None, :]                    # [N, p]
+    xi = xb[:, None] + ks[None, :]
+    oh_x = (xi[:, :, None] == jnp.arange(W)[None, None, :]).astype(vol.dtype)
+    cols = jnp.einsum("nxw,nhw->nxh", oh_x, vol, precision=precision)
+    oh_y = (yi[:, :, None] == jnp.arange(H)[None, None, :]).astype(vol.dtype)
+    patch = jnp.einsum("nxh,nyh->nxy", cols, oh_y, precision=precision)
+    fx = fx.astype(patch.dtype)
+    fy = fy.astype(patch.dtype)
+    win = ((1 - fx) * (1 - fy) * patch[:, :n, :n]
+           + fx * (1 - fy) * patch[:, 1:, :n]
+           + (1 - fx) * fy * patch[:, :n, 1:]
+           + fx * fy * patch[:, 1:, 1:])              # [N, n(x), n(y)]
+    return win.reshape(cx.shape[0], n * n)
+
+
 def corr_lookup_pallas(pyramid, coords, radius: int):
     """corr_lookup via the Pallas one-DMA-per-patch kernel.
 
@@ -347,19 +379,25 @@ def corr_lookup_pallas(pyramid, coords, radius: int):
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 
 
-def corr_lookup(pyramid, coords, radius: int, onehot: bool = False):
+_ONEHOT_IMPLS = {True: _window_onehot_lookup, False: _window_patch_lookup,
+                 "xf": _window_onehot_lookup_xf}
+
+
+def corr_lookup(pyramid, coords, radius: int, onehot=False):
     """coords [B, H1, W1, 2] (x, y) -> [B, H1, W1, levels*(2r+1)^2].
 
     Window-channel ordering matches the reference quirk (corr.py:37-43): the
     meshgrid(dy, dx) stack feeds the sampler's (x, y) split, so the x-offset
-    varies over the SLOW window axis.
+    varies over the SLOW window axis. onehot: True (row-first one-hot MXU
+    lookup, the production default), False (take_along_axis row gathers), or
+    "xf" (x-first one-hot, H-minor intermediate).
     """
     B, H1, W1, _ = coords.shape
     cx = coords[..., 0].reshape(B * H1 * W1)
     cy = coords[..., 1].reshape(B * H1 * W1)
     out = []
     for i, vol in enumerate(pyramid):
-        lookup = _window_onehot_lookup if onehot else _window_patch_lookup
+        lookup = _ONEHOT_IMPLS[onehot]
         out.append(lookup(vol, cx / (2 ** i), cy / (2 ** i), radius))
     return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
 

@@ -149,3 +149,22 @@ def test_onehot_lookup_matches_gather_lookup():
     a = _window_patch_lookup(vol, cx, cy, 4)
     b = _window_onehot_lookup(vol, cx, cy, 4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_onehot_xfirst_matches():
+    """The x-first one-hot window lookup is exactly the row-first one."""
+    import jax
+    import jax.numpy as jnp
+    from prisma_tpu.models import raft as jraft
+
+    rng = np.random.default_rng(11)
+    N, H, W = 64, 14, 19
+    vol = jnp.asarray(rng.normal(size=(N, H, W)).astype(np.float32))
+    # centers incl. far out-of-bounds (zero-padding semantics)
+    cx = jnp.asarray(rng.uniform(-8, W + 8, size=(N,)).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-8, H + 8, size=(N,)).astype(np.float32))
+    a = jraft._window_onehot_lookup(vol, cx, cy, r=4, precision="highest")
+    b = jraft._window_onehot_lookup_xf(vol, cx, cy, r=4, precision="highest")
+    c = jraft._window_patch_lookup(vol, cx, cy, r=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
