@@ -538,7 +538,9 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
             corr = corr_lookup_pallas(pyramid, coords1, cfg.corr_radius)
         else:
             corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
-                               onehot=corr_impl == "volume_onehot")
+                               onehot={"volume_onehot": True,
+                                       "volume_onehot_xf": "xf"}.get(
+                                           corr_impl, False))
         flow = coords1 - coords0
         motion = _motion_encoder(params["update"]["encoder"],
                                  flow.astype(dtype), corr.astype(dtype),

@@ -46,10 +46,14 @@ class VAEConfig:
 
 
 def group_norm(p, x, groups: int = 32, eps: float = 1e-6):
+    """Single-pass f32-moment group norm: both moments in ONE read of the
+    activation (jnp.var's mean-then-deviations form re-reads the full-res
+    VAE-decoder activations a second time; same fix as GMFlow's norms)."""
     B, H, W, C = x.shape
     g = x.reshape(B, H * W, groups, C // groups).astype(jnp.float32)
     mu = jnp.mean(g, axis=(1, 3), keepdims=True)
-    var = jnp.var(g, axis=(1, 3), keepdims=True)
+    m2 = jnp.mean(g * g, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
     g = (g - mu) * jax.lax.rsqrt(var + eps)
     g = g.reshape(B, H, W, C).astype(x.dtype)
     return g * p["scale"] + p["bias"]

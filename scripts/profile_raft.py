@@ -90,12 +90,11 @@ def main():
             return out
         return lookup_only
 
-    t_lk = timeit(lookup_scan(True), pyr, coords0)
-    print(f"20x corr_lookup(onehot) only: {t_lk*1e3:.0f} ms "
-          f"({t_lk/cfg.iters*1e3:.1f} ms/iter)")
-    t_tk = timeit(lookup_scan(False), pyr, coords0)
-    print(f"20x corr_lookup(take_along) only: {t_tk*1e3:.0f} ms "
-          f"({t_tk/cfg.iters*1e3:.1f} ms/iter)")
+    for name, oh in (("onehot", True), ("onehot_xf", "xf"),
+                     ("take_along", False)):
+        t_lk = timeit(lookup_scan(oh), pyr, coords0)
+        print(f"20x corr_lookup({name}) only: {t_lk*1e3:.0f} ms "
+              f"({t_lk/cfg.iters*1e3:.1f} ms/iter)")
 
     # per-level onehot cost: time scans that look up ONE level each
     full_pyr = list(pyr)
