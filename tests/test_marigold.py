@@ -121,3 +121,22 @@ def test_marigold_band_image(tmp_path, monkeypatch):
         img_path, denoise_steps=2, ensemble_size=2,
         runtime=RuntimeConfig(random_weights=True, compute_dtype="float32"))
     assert cv2.imread(io.output).shape == (40, 56, 3)
+
+
+def test_band_seed_is_global_frame_index():
+    """Batch regrouping must not change per-frame latents (frame-index resume
+    regroups batches; advisor round-2 medium finding): frame k inferred as
+    part of any batch/offset grouping gives the identical depth map."""
+    from prisma_tpu.bands import depth_marigold_band as band
+
+    params = jmar.init_params(jax.random.key(0), TINY_UNET, TINY_VAE)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, size=(3, 40, 56, 3)).astype(np.uint8)
+    kw = dict(unet_cfg=TINY_UNET, steps=2, ensemble=2, res=24,
+              dtype=jnp.float32)
+    all_at_once = np.asarray(band._infer_frames(params, frames, idx0=0, **kw))
+    # resume-style regrouping: frame 0 alone, then frames 1-2 with idx0=1
+    first = np.asarray(band._infer_frames(params, frames[:1], idx0=0, **kw))
+    rest = np.asarray(band._infer_frames(params, frames[1:], idx0=1, **kw))
+    np.testing.assert_array_equal(all_at_once[0], first[0])
+    np.testing.assert_array_equal(all_at_once[1:], rest)
