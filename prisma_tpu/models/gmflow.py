@@ -363,36 +363,54 @@ def _window_attention(q, k, v, h, w, ns: int, ids, precision=None,
     """
     B, L, C = q.shape
     shifted = ids is not None
+    qw = _win_split(q, h, w, ns, shifted)
+    kw = _win_split(k, h, w, ns, shifted)
+    vw = _win_split(v, h, w, ns, shifted)
+    out = _window_attention_core(qw, kw, vw, B, ids, precision, impl)
+    return _win_merge(out, B, h, w, ns, shifted)
 
-    def to_win(t):
-        t = t.reshape(B, h, w, C)
-        if shifted:
-            t = jnp.roll(t, (-(h // ns // 2), -(w // ns // 2)), axis=(1, 2))
-        return _split_windows(t, ns).reshape(B * ns * ns, -1, C)
 
-    qw, kw, vw = to_win(q), to_win(k), to_win(v)
-    if impl == "flash":
-        from prisma_tpu.ops.pallas.flash_attention import flash_attention
-        idst = None
-        if shifted:
-            idst = jnp.tile(jnp.asarray(ids, jnp.int32), (B, 1))
-        out = flash_attention(qw, kw, vw, ids=idst)
-    else:
-        scores = jnp.einsum("bnc,bmc->bnm", qw, kw,
-                            precision=precision) / (C ** 0.5)
-        if shifted:
-            # additive mask cast to the score dtype: an f32 mask would promote
-            # the whole transformer to f32 under bf16 params
-            diff = ids[:, None, :] - ids[:, :, None]
-            mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-            scores = scores + jnp.tile(jnp.asarray(mask, scores.dtype),
-                                       (B, 1, 1))
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
+def _win_split(x, h, w, ns: int, shifted: bool):
+    """[B, L, C] -> [B*ns*ns, win, C] window tokens (shifted-window roll
+    applied first when shifted)."""
+    B, L, C = x.shape
+    t = x.reshape(B, h, w, C)
+    if shifted:
+        t = jnp.roll(t, (-(h // ns // 2), -(w // ns // 2)), axis=(1, 2))
+    return _split_windows(t, ns).reshape(B * ns * ns, -1, C)
+
+
+def _win_merge(out, B, h, w, ns: int, shifted: bool):
+    """Inverse of _win_split -> [B, h*w, C]."""
+    C = out.shape[-1]
     out = _merge_windows(out.reshape(B * ns * ns, h // ns, w // ns, C), ns)
     if shifted:
         out = jnp.roll(out, (h // ns // 2, w // ns // 2), axis=(1, 2))
-    return out.reshape(B, L, C)
+    return out.reshape(B, h * w, C)
+
+
+def _window_attention_core(qw, kw, vw, B, ids, precision=None,
+                           impl: str = "xla"):
+    """Attention over already-windowed tokens [B*ns*ns, win, C]; ids
+    [ns*ns, win] region labels (shifted layers) or None."""
+    C = qw.shape[-1]
+    if impl == "flash":
+        from prisma_tpu.ops.pallas.flash_attention import flash_attention
+        idst = None
+        if ids is not None:
+            idst = jnp.tile(jnp.asarray(ids, jnp.int32), (B, 1))
+        return flash_attention(qw, kw, vw, ids=idst)
+    scores = jnp.einsum("bnc,bmc->bnm", qw, kw,
+                        precision=precision) / (C ** 0.5)
+    if ids is not None:
+        # additive mask cast to the score dtype: an f32 mask would promote
+        # the whole transformer to f32 under bf16 params
+        diff = ids[:, None, :] - ids[:, :, None]
+        mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+        scores = scores + jnp.tile(jnp.asarray(mask, scores.dtype),
+                                   (B, 1, 1))
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnm,bmc->bnc", attn, vw, precision=precision)
 
 
 def _full_attention(q, k, v, precision=None):
@@ -430,16 +448,32 @@ def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
             f["b"] = jnp.concatenate([p[n]["b"] for n in parts])
         return f
 
-    if source is target:
-        qkv = pnn.linear(fused(("q", "k", "v")), source, precision=precision)
-        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-    else:
-        q = pnn.linear(p["q"], source, precision=precision)
-        kv = pnn.linear(fused(("k", "v")), target, precision=precision)
-        k, v = kv[..., :C], kv[..., C:]
     if ns > 1:
-        message = _window_attention(q, k, v, h, w, ns, ids, precision, impl)
+        # window tokens BEFORE projecting: the linear commutes with the
+        # token permutation exactly, so the roll+split transpose chain runs
+        # once per input tensor instead of once per projected q/k/v
+        B = source.shape[0]
+        shifted = ids is not None
+        sw = _win_split(source, h, w, ns, shifted)
+        if source is target:
+            qkv = pnn.linear(fused(("q", "k", "v")), sw, precision=precision)
+            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        else:
+            tw = _win_split(target, h, w, ns, shifted)
+            q = pnn.linear(p["q"], sw, precision=precision)
+            kv = pnn.linear(fused(("k", "v")), tw, precision=precision)
+            k, v = kv[..., :C], kv[..., C:]
+        out = _window_attention_core(q, k, v, B, ids, precision, impl)
+        message = _win_merge(out, B, h, w, ns, shifted)
     else:
+        if source is target:
+            qkv = pnn.linear(fused(("q", "k", "v")), source,
+                             precision=precision)
+            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        else:
+            q = pnn.linear(p["q"], source, precision=precision)
+            kv = pnn.linear(fused(("k", "v")), target, precision=precision)
+            k, v = kv[..., :C], kv[..., C:]
         message = _full_attention(q, k, v, precision)
     message = _layer_norm(p["norm1"], pnn.linear(p["merge"], message,
                                                  precision=precision))

@@ -63,14 +63,14 @@ def main():
                   f"(x12 = {t*12e3:.0f} ms)")
 
     # linears/FFN/layernorm only: attention replaced by identity
-    real_attn = jgm._window_attention
-    jgm._window_attention = lambda q, k, v, *a, **kw: v
+    real_attn = jgm._window_attention_core
+    jgm._window_attention_core = lambda qw, kw, vw, *a, **kw2: vw
     try:
         t = timeit(jax.jit(functools_partial_transformer("xla")),
                    params["transformer"], f0, f1)
         print(f"transformer linears+ffn+ln only (attn=identity): {t*1e3:.1f} ms")
     finally:
-        jgm._window_attention = real_attn
+        jgm._window_attention_core = real_attn
 
     # window split/merge + roll data movement alone
     @jax.jit
