@@ -1,5 +1,6 @@
 """Native codec round-trips: write mp4 with our encoder, read back with our decoder
 (and cross-check with cv2's independent ffmpeg build when available)."""
+import os
 
 import numpy as np
 import pytest
@@ -114,3 +115,40 @@ def test_cv2_cross_check(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(IOError):
         VideoReader("/nonexistent/nope.mp4")
+
+
+def test_extract_and_make_video_roundtrip(tmp_path):
+    """extract_frames_from_video / make_video (reference io.py ffmpeg helpers,
+    native here): dump frames, invert option, re-encode to a video."""
+    import cv2
+    from prisma_tpu.io.video import (VideoReader, VideoWriter,
+                                     extract_frames_from_video, make_video)
+
+    src = str(tmp_path / "src.mp4")
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    w = VideoWriter(48, 32, 24.0, filename=src)
+    for i in range(6):
+        w.write(np.roll(base, i * 3, axis=1))
+    w.close()
+
+    frames_dir = str(tmp_path / "frames")
+    n = extract_frames_from_video(src, frames_dir, extension="png")
+    assert n == 6
+    files = sorted(os.listdir(frames_dir))
+    assert files[0] == "001.png" and len(files) == 6
+
+    inv_dir = str(tmp_path / "inv")
+    extract_frames_from_video(src, inv_dir, extension="png", invert=True)
+    a = cv2.imread(os.path.join(frames_dir, "001.png"))
+    b = cv2.imread(os.path.join(inv_dir, "001.png"))
+    np.testing.assert_array_equal(b, 255 - a)
+
+    half_dir = str(tmp_path / "half")
+    assert extract_frames_from_video(src, half_dir, fps=12.0) == 3
+
+    out = str(tmp_path / "rebuilt.mp4")
+    make_video(out, frames_dir, fps=24)
+    r = VideoReader(out)
+    assert (r.width, r.height, r.num_frames) == (48, 32, 6)
+    r.close()
