@@ -15,6 +15,13 @@ def create_folder(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+def copy_folder(src: str, dst: str) -> None:
+    """Recursive folder copy (reference io.py copy_folder)."""
+    import shutil
+
+    shutil.copytree(src, dst, dirs_exist_ok=True)
+
+
 def get_image_size(path: str) -> tuple[int, int]:
     """(width, height) of an image file."""
     img = cv2.imread(path)

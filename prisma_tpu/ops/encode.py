@@ -59,6 +59,22 @@ def rgb_hue(rgb: jax.Array) -> jax.Array:
     return jnp.where(maxc == minc, 0.0, hue)
 
 
+def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
+    """Full HSV from float RGB (reference encode.py:36-59): H in degrees
+    [0, 360), S = 1 - min/max, V = max."""
+    maxv = jnp.max(rgb, axis=-1)
+    minv = jnp.min(rgb, axis=-1)
+    eps = jnp.asarray(jnp.finfo(jnp.float32).eps, rgb.dtype)
+    s = jnp.where(maxv == 0, 0.0, 1.0 - minv / (maxv + eps))
+    return jnp.stack([rgb_hue(rgb), s, maxv], axis=-1)
+
+
+def encode_polar(a: jax.Array, rad: jax.Array) -> jax.Array:
+    """Angle [0,1] -> hue, radius [0,1] -> saturation (reference
+    encode.py:90-102; the HSV step of the flow visualization)."""
+    return saturation(hue_to_rgb(a), rad)
+
+
 def rgb_to_heat(rgb: jax.Array) -> jax.Array:
     """Decode a heatmap RGB back to heat in [0,1] (inverse of heat_to_rgb)."""
     hue = rgb_hue(rgb) / 360.0

@@ -160,3 +160,16 @@ def test_encode_data_into_img_matches(capsys):
     theirs = ref.encode_data_into_img(vec4.copy(), min_value=0.0, max_value=1.0)
     np.testing.assert_allclose(ours, theirs, atol=1e-9)
     capsys.readouterr()  # swallow the reference's debug prints
+
+
+def test_rgb_to_hsv_and_encode_polar_match():
+    rgb = RNG.uniform(0, 1, size=(9, 7, 3)).astype(np.float32)
+    ours = np.asarray(enc.rgb_to_hsv(rgb))
+    theirs = ref.rgb_to_hsv(rgb.astype(np.float64))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+    a = RNG.uniform(0, 1, size=(6, 8)).astype(np.float32)
+    rad = RNG.uniform(0, 1, size=(6, 8)).astype(np.float32)
+    ours = np.asarray(enc.encode_polar(a, rad))
+    theirs = ref.encode_polar(a.astype(np.float64), rad.astype(np.float64))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
