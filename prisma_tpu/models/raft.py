@@ -54,9 +54,16 @@ class RAFTConfig:
 # ---------------------------------------------------------------------------
 
 def _instance_norm(x, eps=1e-5):
-    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps)
+    """Single-pass f32-moment instance norm (same fix as GMFlow's backbone:
+    jnp.var's two-pass form re-reads the full-res encoder activations, and
+    bf16 partial sums lose the variance to cancellation at HW ~ 3e5)."""
+    B, H, W, C = x.shape
+    xf = x.reshape(B, H * W, C)
+    m1 = jnp.mean(xf, axis=1, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(xf.astype(jnp.float32)), axis=1)
+    scale = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + eps)
+    return ((x - m1[:, None, None].astype(x.dtype))
+            * scale[:, None, None].astype(x.dtype))
 
 
 def _apply_norm(p, x, kind: str):

@@ -57,11 +57,14 @@ class SOLOv2Config:
 # ---------------------------------------------------------------------------
 
 def group_norm(p, x, groups: int, eps: float = 1e-5):
+    # single-pass f32 moments: one read of the (1333, 800)-budget FPN
+    # activations instead of jnp.var's second deviations pass
     B, H, W, C = x.shape
-    g = x.reshape(B, H, W, groups, C // groups)
+    g = x.reshape(B, H, W, groups, C // groups).astype(jnp.float32)
     mu = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
-    var = jnp.var(g, axis=(1, 2, 4), keepdims=True)
-    g = (g - mu) * jax.lax.rsqrt(var + eps)
+    var = jnp.maximum(
+        jnp.mean(g * g, axis=(1, 2, 4), keepdims=True) - mu * mu, 0.0)
+    g = ((g - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return g.reshape(B, H, W, C) * p["scale"] + p["bias"]
 
 

@@ -21,10 +21,12 @@ def linear(p, x, precision=None):
 
 
 def layer_norm(p, x, eps: float = 1e-6):
-    # stats in f32 for bf16 activations (standard mixed-precision practice)
+    # stats in f32 for bf16 activations; single pass (E[x^2]-E[x]^2) so the
+    # activation is read once, not re-read for the deviations
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu,
+                      0.0)
     y = ((xf - mu) * lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p["scale"] + p["bias"]
 

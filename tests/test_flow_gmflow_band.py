@@ -83,3 +83,27 @@ def test_flow_gmflow_refine_band_e2e(tmp_path):
     assert "flow_gmflow.mp4" in files and "flow_gmflow.csv" in files
     dists = open(os.path.join(folder, "flow_gmflow.csv")).read().splitlines()
     assert len(dists) == 3 and float(dists[-1]) == 0.0
+
+
+def test_flow_gmflow_refine_with_inference_size_and_mask_png(tmp_path):
+    """--num_scales 2 combined with --inference_size and --subpath_mask:
+    the refinement path must honor the resize contract (flow rescaled back)
+    and the 16-bit flow PNG outputs."""
+    import cv2
+
+    folder = _make_folder(tmp_path, frames=3, w=96, h=64)
+    runtime = RuntimeConfig(batch_size=3, compute_dtype="float32",
+                            random_weights=True)
+    flow_gmflow_band.run(folder, backwards=False, subpath_mask="enc",
+                         inference_size=(64, 96), cfg=jgm.refine_config(),
+                         runtime=runtime)
+    files = sorted(os.listdir(os.path.join(folder, "enc_fwd")))
+    assert files == ["0000.png", "0001.png", "0002.png"]
+    img = cv2.imread(os.path.join(folder, "enc_fwd", files[0]),
+                     cv2.IMREAD_UNCHANGED)
+    # the driver's default 0.75 input scale (reference flow_gmflow.py) puts
+    # outputs at the scaled size
+    assert img.dtype.name == "uint16" and img.shape == (48, 72, 3)
+
+
+from prisma_tpu.models import gmflow as jgm  # noqa: E402  (test helper)
