@@ -27,6 +27,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -344,6 +345,36 @@ def shift_window_region_ids(h: int, w: int, ns: int) -> np.ndarray:
     return img.reshape(ns, wh, ns, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
 
 
+@functools.lru_cache(maxsize=None)
+def shift_window_region_bands(h: int, w: int, ns: int) -> np.ndarray:
+    """[ns*ns, 2] int32 (bh, bw): each window's at-most-one in-window band
+    boundary per axis (sentinel = window extent = no boundary), for the
+    flash kernel's in-kernel region bias (region_bands/win_w). Of the swin
+    region edges {dim-win, dim-shift}, only dim-shift can fall strictly
+    inside a window (dim-win is a window start), so the per-window region
+    id decomposes as separable >=-band tests — verified here against
+    shift_window_region_ids.
+    """
+    wh, ww = h // ns, w // ns
+    ids = shift_window_region_ids(h, w, ns).reshape(ns * ns, wh, ww)
+    bands = np.zeros((ns * ns, 2), np.int32)
+    for k in range(ns * ns):
+        dh = np.nonzero(ids[k, :, 0] != ids[k, 0, 0])[0]
+        dw = np.nonzero(ids[k, 0, :] != ids[k, 0, 0])[0]
+        bh = int(dh[0]) if dh.size else wh
+        bw = int(dw[0]) if dw.size else ww
+        bands[k] = (bh, bw)
+        hb = (np.arange(wh) >= bh).astype(np.int32)
+        wb = (np.arange(ww) >= bw).astype(np.int32)
+        sep = hb[:, None] * 2 + wb[None, :]
+        same_sep = sep[:, :, None, None] == sep[None, None, :, :]
+        same_ids = ids[k][:, :, None, None] == ids[k][None, None, :, :]
+        if not np.array_equal(same_sep, same_ids):
+            raise ValueError(f"window {k}: region ids are not separable "
+                             f"single-boundary bands for ({h},{w},ns={ns})")
+    return bands
+
+
 def shift_window_attn_mask(h: int, w: int, ns: int) -> np.ndarray:
     """[ns*ns, win, win] additive mask (dense-attention path)."""
     win = shift_window_region_ids(h, w, ns)
@@ -366,7 +397,10 @@ def _window_attention(q, k, v, h, w, ns: int, ids, precision=None,
     qw = _win_split(q, h, w, ns, shifted)
     kw = _win_split(k, h, w, ns, shifted)
     vw = _win_split(v, h, w, ns, shifted)
-    out = _window_attention_core(qw, kw, vw, B, ids, precision, impl)
+    bands_ww = (shift_window_region_bands(h, w, ns), w // ns) if shifted \
+        else None
+    out = _window_attention_core(qw, kw, vw, B, ids, precision, impl,
+                                 bands_ww)
     return _win_merge(out, B, h, w, ns, shifted)
 
 
@@ -390,12 +424,20 @@ def _win_merge(out, B, h, w, ns: int, shifted: bool):
 
 
 def _window_attention_core(qw, kw, vw, B, ids, precision=None,
-                           impl: str = "xla"):
+                           impl: str = "xla", bands_ww=None):
     """Attention over already-windowed tokens [B*ns*ns, win, C]; ids
-    [ns*ns, win] region labels (shifted layers) or None."""
+    [ns*ns, win] region labels (shifted layers) or None. bands_ww: optional
+    (bands [ns*ns, 2], win_w) from shift_window_region_bands — lets the
+    flash kernel compute the region bias in-kernel from iota compares
+    instead of +128 one-hot qk lanes (2x score-matmul saving at C=128)."""
     C = qw.shape[-1]
     if impl == "flash":
         from prisma_tpu.ops.pallas.flash_attention import flash_attention
+        if ids is not None and bands_ww is not None:
+            bands, ww = bands_ww
+            return flash_attention(qw, kw, vw,
+                                   region_bands=jnp.asarray(bands, jnp.int32),
+                                   win_w=int(ww))
         idst = None
         if ids is not None:
             idst = jnp.tile(jnp.asarray(ids, jnp.int32), (B, 1))
@@ -463,7 +505,10 @@ def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
             q = pnn.linear(p["q"], sw, precision=precision)
             kv = pnn.linear(fused(("k", "v")), tw, precision=precision)
             k, v = kv[..., :C], kv[..., C:]
-        out = _window_attention_core(q, k, v, B, ids, precision, impl)
+        bands_ww = (shift_window_region_bands(h, w, ns), w // ns) if shifted \
+            else None
+        out = _window_attention_core(q, k, v, B, ids, precision, impl,
+                                     bands_ww)
         message = _win_merge(out, B, h, w, ns, shifted)
     else:
         if source is target:

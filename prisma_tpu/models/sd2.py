@@ -128,8 +128,7 @@ def cross_attention(p, x, context, heads: int, precision=None):
 def geglu_ff(p, x, precision=None):
     y = pnn.linear(p["proj"], x, precision=precision)
     a, b = jnp.split(y, 2, axis=-1)
-    return pnn.linear(p["out"], a * jax.nn.gelu(b, approximate=False),
-                      precision=precision)
+    return pnn.linear(p["out"], a * pnn.gelu(b), precision=precision)
 
 
 def basic_transformer(p, x, context, heads: int, precision=None):

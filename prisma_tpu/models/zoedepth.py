@@ -127,7 +127,7 @@ def conditional_log_binomial(p, x, cond, cfg: ZoeDepthConfig, precision=None):
     """[B, H, W, Cx] main + [B, H, W, Cc] condition -> probs [B, H, W, n_bins]."""
     pt = pnn.conv2d(p["fc1"], jnp.concatenate([x, cond], axis=-1),
                     precision=precision)
-    pt = pnn.conv2d(p["fc2"], jax.nn.gelu(pt), precision=precision)
+    pt = pnn.conv2d(p["fc2"], pnn.gelu(pt), precision=precision)
     pt = jax.nn.softplus(pt)
     prob = pt[..., :2] + 1e-4
     temp = pt[..., 2:] + 1e-4

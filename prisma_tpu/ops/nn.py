@@ -32,6 +32,19 @@ def layer_norm(p, x, eps: float = 1e-6):
 
 
 def gelu(x):
+    """Exact (erf) gelu on the f32 parity path; tanh-approx on bf16.
+
+    XLA:TPU lowers the exact erf to an f32 rational with a divide — measured
+    3.61 ms vs 0.53 ms per GMFlow FFN instance at the production shape
+    ([8, 18360, 1024]), ~18 ms of the 88 ms transformer. Gated on dtype
+    because for bf16 activations the approximation is free: enumerating ALL
+    finite bf16 inputs against the f64 ground truth, the bf16 tanh path's
+    max error (9.28e-3) is no larger than the bf16 erf path's (9.82e-3) —
+    input/output rounding dominates either way. f32 inputs (parity tests,
+    precision='highest' oracles vs torch nn.GELU) keep the exact erf.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

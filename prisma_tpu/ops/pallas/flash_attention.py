@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,13 +45,48 @@ _REGION_PENALTY = 100.0  # |gmflow shift-window bias|; sign folded via +same
 _ID_LANES = 128  # one-hot width (region ids must be < 128); one MXU lane tile
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
-                  n_valid: int, scale: float):
+def _mod_ramp(x, ww: int, maxv: int):
+    """x % ww for 0 <= x < maxv via unrolled conditional subtracts — Mosaic
+    lowers vector int rem catastrophically (measured +1.6 ms/call on a
+    [512, 512] block) while compare/select rounds are ~free."""
+    for _ in range(max(1, (maxv - 1) // ww)):
+        x = x - jnp.where(x >= ww, ww, 0)
+    return x
+
+
+def _flash_kernel(*refs, block_k: int, n_kv: int, n_valid: int, scale: float,
+                  block_q: int = 0, win_w: int = 0, nwin: int = 0):
     # q/k/v stay in the input dtype for the MXU dots (bf16 x bf16 -> f32
     # accumulate runs at 2x the all-f32 rate); softmax state is f32
+    if win_w:
+        bands_ref, q_ref, k_ref, v_ref, o_ref = refs
+        win = pl.program_id(0) % nwin
+        bh = bands_ref[win, 0]
+        bw = bands_ref[win, 1]
+        qrow = pl.program_id(1) * block_q
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     q = q_ref[0]                                      # [BQ, dqk]
     bq = q.shape[0]
     dv = v_ref.shape[-1]
+
+    if win_w:
+        # swin shifted-window region bias computed IN-kernel from the
+        # window's (at most one) h/w band boundary: token j sits at
+        # (j // win_w, j % win_w) and tokens on opposite sides of a boundary
+        # get the reference's additive -100 (gmflow/transformer.py:19-105
+        # mask semantics). Vector int div/mod lower badly in Mosaic, so
+        # the tests are div-free: j // ww >= bh <=> j >= bh*ww, and j % ww
+        # comes from _mod_ramp (unrolled conditional subtracts) over the
+        # block iota plus a SCALAR remainder of the block offset.
+        qi = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        qs = jax.lax.rem(qrow, win_w)          # scalar remainder
+        wq = _mod_ramp(qi + qs, win_w, block_q + win_w)
+        # both band tests folded into ONE int code per token so the loop
+        # body does a single [bq,1]x[1,bk] broadcast compare (the two-
+        # compare + & form measured ~3x the bias cost)
+        code_q = (2 * ((qrow + qi) >= bh * win_w).astype(jnp.int32)
+                  + (wq >= bw).astype(jnp.int32))
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -58,9 +94,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_kv: int,
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (1, block_k), 1)
+        if win_w:
+            ks = jax.lax.rem(i * block_k, win_w)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            wk = _mod_ramp(ki + ks, win_w, block_k + win_w)
+            code_k = (2 * (col >= bh * win_w).astype(jnp.int32)
+                      + (wk >= bw).astype(jnp.int32))
+            s = jnp.where(code_q == code_k, s, s - _REGION_PENALTY)
         if n_valid < n_kv:  # mask padded key columns
-            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                         (bq, block_k), 1)
             s = jnp.where(col < n_valid, s, _NEG)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -87,8 +130,10 @@ def _pad_axis1(x, n, fill=0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, ids=None, block_q: int | None = None,
+                   static_argnames=("block_q", "block_k", "win_w",
+                                    "interpret"))
+def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
+                    block_q: int | None = None,
                     block_k: int | None = None, interpret: bool = False):
     """q/k/v [B, N, d] (B folds batch x heads x windows) -> [B, N, d].
 
@@ -99,10 +144,20 @@ def flash_attention(q, k, v, ids=None, block_q: int | None = None,
     2x over both dense XLA and 256-blocks at the 4590-token GMFlow windows:
     1.53 vs 3.1 ms), 256 below (less padding waste for ViT-length rows).
 
-    ids: optional [B, N] int region labels (< 128); tokens with different
-    labels attend with an additive -100 bias (GMFlow's shifted-window mask),
-    folded into the score matmul via a one-hot channel block (see module
-    docstring).
+    Two ways to express GMFlow's shifted-window -100 region bias:
+
+    ids: [B, N] int region labels (< 128) for ARBITRARY regions; tokens with
+    different labels attend with the additive -100, folded into the score
+    matmul via a one-hot channel block (see module docstring). Costs an
+    extra 128 qk lanes — 2x the score matmul at d=128.
+
+    region_bands + win_w: the swin-structured case — [nwin, 2] int32 per
+    window (bh, bw), the window's at-most-one in-window band boundary per
+    axis (sentinel >= window extent = none), win_w the window's token-row
+    width. The kernel computes the bias from int32 iota compares (token j
+    sits at (j // win_w, j % win_w)); qk stays at the model width — measured
+    4.24 -> ~2.7 ms per shifted 4590-token attention. B must be a multiple
+    of nwin with the window axis FASTER than batch (as _win_split lays out).
     """
     B, N, d = q.shape
     if block_q is None:
@@ -125,24 +180,36 @@ def flash_attention(q, k, v, ids=None, block_q: int | None = None,
     kp = _pad_axis1(k, npad)
     vp = _pad_axis1(v, npad)
 
+    args = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npad, dqk), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npad, d), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra = {}
+    if region_bands is not None:
+        assert ids is None and win_w > 0
+        nwin = region_bands.shape[0]
+        assert B % nwin == 0
+        args.insert(0, jnp.asarray(region_bands, jnp.int32))
+        in_specs.insert(0, pl.BlockSpec((nwin, 2), lambda b, i: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        extra = dict(block_q=block_q, win_w=win_w, nwin=nwin)
+
     kernel = functools.partial(_flash_kernel, block_k=block_k, n_kv=npad,
-                               n_valid=N, scale=scale)
+                               n_valid=N, scale=scale, **extra)
     out = pl.pallas_call(
         kernel,
         grid=(B, npad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, dqk), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, npad, d), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*args)
     return out[:, :N]
 
 

@@ -62,8 +62,9 @@ def test_gmflow_window_attention_flash_matches_xla():
     real = fa.flash_attention
 
     def interp(qq, kk, vv, ids=None, **kw):
+        kw.pop("block_q", None), kw.pop("block_k", None)
         return real(qq, kk, vv, ids=ids, block_q=128, block_k=128,
-                    interpret=True)
+                    interpret=True, **kw)
 
     with mock.patch.object(fa, "flash_attention", interp):
         ours = _window_attention(q, k, v, h, w, ns, ids, impl="flash")
@@ -118,3 +119,32 @@ def test_gmflow_global_attend_flash_matches_scan():
     ref = jgm._attn_blockwise(q, k, grid, scale, 2048, None)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4,
                                atol=5e-3)
+
+def test_region_bands_match_ids_path():
+    """The in-kernel swin band bias (region_bands/win_w) equals the one-hot
+    ids path and the dense mask on real shift-window geometry."""
+    from prisma_tpu.models.gmflow import (shift_window_region_bands,
+                                          shift_window_region_ids)
+    rng = np.random.default_rng(5)
+    h, w, ns = 20, 24, 2
+    wh, ww = h // ns, w // ns
+    win = wh * ww
+    B = 3 * ns * ns  # batch 3, window axis faster (as _win_split lays out)
+    d = 64
+    q = jnp.asarray(rng.normal(size=(B, win, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, win, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, win, d)).astype(np.float32))
+    ids = shift_window_region_ids(h, w, ns)
+    bands = shift_window_region_bands(h, w, ns)
+    idst = jnp.tile(jnp.asarray(ids, jnp.int32), (3, 1))
+    via_ids = flash_attention(q, k, v, ids=idst, block_q=128, block_k=128,
+                              interpret=True)
+    via_bands = flash_attention(q, k, v,
+                                region_bands=jnp.asarray(bands, jnp.int32),
+                                win_w=ww, block_q=128, block_k=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(via_bands), np.asarray(via_ids),
+                               atol=2e-5)
+    ref = _xla_attention(q, k, v, d ** -0.5, ids=idst)
+    np.testing.assert_allclose(np.asarray(via_bands), np.asarray(ref),
+                               atol=2e-5)
