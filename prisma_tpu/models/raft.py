@@ -370,6 +370,87 @@ def _window_onehot_lookup_xf(vol, cx, cy, r: int, precision=None):
     return win.reshape(cx.shape[0], n * n)
 
 
+def pack_pyramid_tail(pyramid):
+    """Pack pyramid levels 1..L-1 into ONE row-concatenated volume.
+
+    Returns (level0, packed [N, sum(Hl), W1], dims [(Hl, Wl), ...]) where the
+    tail levels' rows are stacked along H (level l's rows start at
+    offset_l = sum of previous heights) and zero-padded to W1 on the right.
+    Motivation (measured, scripts/profile_raft.py): the small levels'
+    per-level one-hot lookups are dominated by their materialized
+    intermediates — every [N, p, Hl]/[N, p, Wl] one-hot and row slab pads its
+    lane dim to 128 regardless of Hl/Wl, so levels 2-3 cost ~4 ms/iter each
+    for <1 ms of volume bytes. One concatenated contraction amortizes those
+    fixed-size intermediates across all three levels.
+    """
+    tail = pyramid[1:]
+    W1 = tail[0].shape[2]
+    packed = jnp.concatenate(
+        [jnp.pad(v, ((0, 0), (0, 0), (0, W1 - v.shape[2]))) for v in tail],
+        axis=1)
+    return pyramid[0], packed, [v.shape[1:] for v in tail]
+
+
+def _window_onehot_lookup_packed(packed, dims, cx, cy, r: int,
+                                 precision=None):
+    """One-hot MXU window lookup over ALL tail levels in one einsum pair.
+
+    packed/dims from pack_pyramid_tail; cx/cy [N] centers in LEVEL-0 coords
+    (this routine applies the /2^level scaling itself, level l of `dims`
+    being pyramid level l+1). Bit-identical to running
+    _window_onehot_lookup per level: each one-hot row has exactly one
+    nonzero, rows whose global index would spill into a neighboring level's
+    band are masked to no-match, and W-padding columns hold exact zeros, so
+    the f32 MXU accumulation sums the same single product plus zeros.
+    Returns [N, L_tail * (2r+1)^2], x on the SLOW axis per level (reference
+    channel-order quirk, corr.py:37-43).
+    """
+    N = packed.shape[0]
+    Hsum, W1 = packed.shape[1], packed.shape[2]
+    n = 2 * r + 1
+    p = n + 1
+    L = len(dims)
+    ks = jnp.arange(p, dtype=jnp.int32)
+    oh_y, oh_x, fxs, fys = [], [], [], []
+    off = 0
+    for li, (Hl, Wl) in enumerate(dims):
+        cxl = cx / (2 ** (li + 1))
+        cyl = cy / (2 ** (li + 1))
+        x0 = jnp.floor(cxl)
+        y0 = jnp.floor(cyl)
+        fxs.append((cxl - x0)[:, None, None])
+        fys.append((cyl - y0)[:, None, None])
+        yi = (y0.astype(jnp.int32) - r)[:, None] + ks[None, :]   # [N, p]
+        xi = (x0.astype(jnp.int32) - r)[:, None] + ks[None, :]
+        # rows outside this level's band must NOT match a neighboring
+        # level's rows: send them to -1 (matches nothing)
+        gy = jnp.where((yi >= 0) & (yi < Hl), yi + off, -1)
+        oh_y.append((gy[:, :, None]
+                     == jnp.arange(Hsum)[None, None, :]).astype(packed.dtype))
+        # x padding columns are exact zeros, so xi in [Wl, W1) is harmless
+        oh_x.append((xi[:, :, None]
+                     == jnp.arange(W1)[None, None, :]).astype(packed.dtype))
+        off += Hl
+    oh_y = jnp.concatenate(oh_y, axis=1)                 # [N, L*p, Hsum]
+    oh_x = jnp.concatenate(oh_x, axis=1)                 # [N, L*p, W1]
+    rows = jnp.einsum("nkh,nhw->nkw", oh_y, packed, precision=precision)
+    # full cross-product of (x-sel, y-sel) blocks: only the L diagonal
+    # blocks are used, but the [N, Lp, Lp] product pads its lanes to 128
+    # anyway, making it cheaper than L separate [N, p, p] products
+    full = jnp.einsum("nyw,nxw->nxy", rows, oh_x, precision=precision)
+    out = []
+    for li in range(L):
+        patch = full[:, li * p:li * p + p, li * p:li * p + p]
+        fx = fxs[li].astype(patch.dtype)
+        fy = fys[li].astype(patch.dtype)
+        win = ((1 - fx) * (1 - fy) * patch[:, :n, :n]
+               + fx * (1 - fy) * patch[:, 1:, :n]
+               + (1 - fx) * fy * patch[:, :n, 1:]
+               + fx * fy * patch[:, 1:, 1:])             # [N, n(x), n(y)]
+        out.append(win.reshape(N, n * n))
+    return jnp.concatenate(out, axis=-1)
+
+
 def corr_lookup_pallas(pyramid, coords, radius: int):
     """corr_lookup via the Pallas one-DMA-per-patch kernel.
 
@@ -396,12 +477,20 @@ def corr_lookup(pyramid, coords, radius: int, onehot=False):
     Window-channel ordering matches the reference quirk (corr.py:37-43): the
     meshgrid(dy, dx) stack feeds the sampler's (x, y) split, so the x-offset
     varies over the SLOW window axis. onehot: True (row-first one-hot MXU
-    lookup, the production default), False (take_along_axis row gathers), or
-    "xf" (x-first one-hot, H-minor intermediate).
+    lookup), False (take_along_axis row gathers), "xf" (x-first one-hot,
+    H-minor intermediate), or "packed" (row-first one-hot on level 0 + ONE
+    einsum pair over the row-concatenated tail levels — bit-identical to
+    True and the production default; see pack_pyramid_tail).
     """
     B, H1, W1, _ = coords.shape
     cx = coords[..., 0].reshape(B * H1 * W1)
     cy = coords[..., 1].reshape(B * H1 * W1)
+    if onehot == "packed":
+        vol0, packed, dims = (pyramid if isinstance(pyramid, tuple)
+                              else pack_pyramid_tail(pyramid))
+        out = [_window_onehot_lookup(vol0, cx, cy, radius),
+               _window_onehot_lookup_packed(packed, dims, cx, cy, radius)]
+        return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
     out = []
     for i, vol in enumerate(pyramid):
         lookup = _ONEHOT_IMPLS[onehot]
@@ -525,6 +614,11 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                                                precision)]
     else:
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
+        if corr_impl == "volume_onehot_packed":
+            # concatenate the tail levels ONCE, outside the scan (the packed
+            # volume is a loop invariant; packing in-loop would re-pad it
+            # every iteration)
+            pyramid = pack_pyramid_tail(pyramid)
 
     cnet = encoder_forward(params["cnet"], img1, "affine", precision)
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
@@ -546,7 +640,8 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
         else:
             corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
                                onehot={"volume_onehot": True,
-                                       "volume_onehot_xf": "xf"}.get(
+                                       "volume_onehot_xf": "xf",
+                                       "volume_onehot_packed": "packed"}.get(
                                            corr_impl, False))
         flow = coords1 - coords0
         motion = _motion_encoder(params["update"]["encoder"],

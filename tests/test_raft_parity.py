@@ -168,3 +168,34 @@ def test_onehot_xfirst_matches():
     c = jraft._window_patch_lookup(vol, cx, cy, r=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+def test_onehot_packed_bit_identical():
+    """The packed tail-level lookup is BIT-identical to per-level onehot:
+    every one-hot row has exactly one nonzero, level-band spill rows are
+    masked to no-match, and W-padding columns are exact zeros."""
+    import jax.numpy as jnp
+    from prisma_tpu.models import raft as jraft
+
+    rng = np.random.default_rng(13)
+    B, H, W = 2, 41, 57  # odd sizes so pooled levels are ragged
+    f1 = jnp.asarray(rng.normal(size=(B, H, W, 32)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(B, H, W, 32)).astype(np.float32))
+    pyr = jraft.build_corr_pyramid(f1, f2, 4, precision="highest")
+    N = B * H * W
+    cx = jnp.asarray(rng.uniform(-8, W + 8, size=(N,)).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-8, H + 8, size=(N,)).astype(np.float32))
+    per_level = [jraft._window_onehot_lookup(vol, cx / (2 ** i),
+                                             cy / (2 ** i), 4,
+                                             precision="highest")
+                 for i, vol in enumerate(pyr)]
+    _, packed, dims = jraft.pack_pyramid_tail(pyr)
+    tail = jraft._window_onehot_lookup_packed(packed, dims, cx, cy, 4,
+                                              precision="highest")
+    ref = np.asarray(jnp.concatenate(per_level[1:], axis=-1))
+    np.testing.assert_array_equal(np.asarray(tail), ref)
+
+    # full corr_lookup drop-in: packed == onehot over the whole pyramid
+    coords = jnp.stack([cx, cy], -1).reshape(B, H, W, 2)
+    a = jraft.corr_lookup(pyr, coords, 4, onehot=True)
+    b = jraft.corr_lookup(pyr, coords, 4, onehot="packed")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
