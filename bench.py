@@ -42,15 +42,21 @@ def main():
     # (background decode thread), so the steady-state step starts device-side
     frames = jax.device_put(frames)
 
+    def force(out):
+        # block_until_ready through the tunneled axon runtime can return
+        # before remote execution finishes; fetching a scalar is the only
+        # reliable completion barrier
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
     # warmup / compile
-    out = step(params, frames)
-    jax.block_until_ready(out)
+    force(step(params, frames))
 
     iters = int(os.environ.get("PRISMA_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(params, frames)
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

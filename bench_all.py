@@ -28,16 +28,45 @@ NORTH_STAR_PER_CHIP = 7.5  # 60 fps / v5e-8 for the depth+flow+mask e2e bands
 
 
 def _device_bench(step, args_dev, iters, items_per_iter):
-    """Median-free simple wall bench: warmup+compile, then timed loop."""
+    """On-device scan-chained timing with a forced scalar fetch.
+
+    block_until_ready through the tunneled axon runtime returns BEFORE
+    remote execution finishes (measured: 20 dispatched flash kernels
+    "block" in 0.3 ms), so host-loop timings undercount; and a bare repeat
+    of identical calls can pipeline. Here the step runs `iters` times
+    inside ONE jitted lax.scan with a data dependency threaded through the
+    first float argument, completion is forced by fetching a scalar, and
+    the constant dispatch+fetch round trip is removed by differencing a
+    length-1 run (slope method).
+    """
     import jax
-    out = step(*args_dev)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tuple(args_dev))
+
+    def chained(n):
+        @jax.jit
+        def run(leaves):
+            def body(c, _):
+                out = step(*jax.tree_util.tree_unflatten(
+                    treedef, [c] + leaves[1:]))
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                eps = jnp.mean(leaf.astype(jnp.float32)) * 1e-24
+                return c + eps.astype(c.dtype), None
+            c, _ = jax.lax.scan(body, leaves[0], None, length=n)
+            return jnp.sum(c.astype(jnp.float32).ravel()[:1])
+        return run
+
+    run1, runN = chained(1), chained(1 + iters)
+    float(run1(leaves))                 # compile
+    float(runN(leaves))                 # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args_dev)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return items_per_iter * iters / dt
+    float(run1(leaves))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(runN(leaves))
+    tN = time.perf_counter() - t0
+    return items_per_iter * iters / (tN - t1)
 
 
 def bench_depth_anything():
@@ -123,7 +152,7 @@ def bench_flow_gmflow():
     params = jax.device_put(cast_params(
         jgm.init_params(jax.random.key(2)), jnp.bfloat16))
     h, w = 810, 1440
-    pairs = int(os.environ.get("PRISMA_BENCH_GMFLOW_PAIRS", "2"))
+    pairs = int(os.environ.get("PRISMA_BENCH_GMFLOW_PAIRS", "4"))
     matching = os.environ.get("PRISMA_BENCH_GMFLOW_MATCH", "blockwise")
     cfg = jgm.GMFlowConfig(matching=matching)
 
@@ -269,13 +298,21 @@ def bench_3band():
         f = flow_step(gm_params, window)
         return m, d, f
 
-    out = round_all()
-    jax.block_until_ready(out)
+    def force(out):
+        # block_until_ready through the tunneled runtime returns before
+        # remote execution finishes; fetching a scalar from each step's
+        # output is the only reliable completion barrier
+        for leaf in (jax.tree_util.tree_leaves(out[0])[0],
+                     jax.tree_util.tree_leaves(out[1])[0],
+                     jax.tree_util.tree_leaves(out[2])[0]):
+            float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
+    force(round_all())
     rounds = int(os.environ.get("PRISMA_BENCH_3BAND_ROUNDS", "4"))
     t0 = time.perf_counter()
     for _ in range(rounds):
         out = round_all()
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     fps = batch * rounds / dt
     return {"metric": "measured_3band_fps_per_chip", "value": fps,
