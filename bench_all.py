@@ -34,10 +34,20 @@ def _device_bench(step, args_dev, iters, items_per_iter):
     remote execution finishes (measured: 20 dispatched flash kernels
     "block" in 0.3 ms), so host-loop timings undercount; and a bare repeat
     of identical calls can pipeline. Here the step runs `iters` times
-    inside ONE jitted lax.scan with a data dependency threaded through the
-    first float argument, completion is forced by fetching a scalar, and
-    the constant dispatch+fetch round trip is removed by differencing a
+    inside ONE jitted lax.scan with a data dependency threaded through
+    EVERY input leaf, completion is forced by fetching a scalar, and the
+    constant dispatch+fetch round trip is removed by differencing a
     length-1 run (slope method).
+
+    The per-iteration epsilon MUST touch every leaf: when only one leaf is
+    perturbed, XLA's loop-invariant code motion hoists everything that does
+    not depend on it OUT of the scan — for depth_anything the first tree
+    leaf (dpt/output_conv1 bias, dicts flatten key-sorted) enters the graph
+    after the entire ViT, and the "per-step" time collapsed to the last two
+    convs (measured 14 ms vs the real ~190 ms). eps is dynamic (derived
+    from the step output) so the adds are not foldable, making every
+    iteration structurally distinct even though the values round to
+    identity.
     """
     import jax
     import jax.numpy as jnp
@@ -47,14 +57,14 @@ def _device_bench(step, args_dev, iters, items_per_iter):
     def chained(n):
         @jax.jit
         def run(leaves):
-            def body(c, _):
-                out = step(*jax.tree_util.tree_unflatten(
-                    treedef, [c] + leaves[1:]))
+            def body(carry, _):
+                out = step(*jax.tree_util.tree_unflatten(treedef, carry))
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 eps = jnp.mean(leaf.astype(jnp.float32)) * 1e-24
-                return c + eps.astype(c.dtype), None
-            c, _ = jax.lax.scan(body, leaves[0], None, length=n)
-            return jnp.sum(c.astype(jnp.float32).ravel()[:1])
+                carry = [l + eps.astype(l.dtype) for l in carry]
+                return carry, None
+            c, _ = jax.lax.scan(body, list(leaves), None, length=n)
+            return jnp.sum(c[0].astype(jnp.float32).ravel()[:1])
         return run
 
     run1, runN = chained(1), chained(1 + iters)

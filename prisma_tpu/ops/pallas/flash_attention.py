@@ -140,9 +140,14 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
     N is padded to the block sizes internally: padded KEY columns score -1e9
     (zero softmax mass), padded QUERY rows are sliced off the output.
 
-    block_q/block_k default by sequence length: 512 for N >= 3072 (measured
-    2x over both dense XLA and 256-blocks at the 4590-token GMFlow windows:
-    1.53 vs 3.1 ms), 256 below (less padding waste for ViT-length rows).
+    block_q/block_k default by sequence length: 512 for N >= 2048, 256 below
+    (less padding waste for short rows). Measured at the two production
+    shapes: 4590-token GMFlow windows 1.53 ms (512) vs 3.1 ms (256) vs dense
+    3.1 ms; 2443-token ViT-L depth rows 4.4-4.8 ms (512) vs 8.2 ms (256)
+    vs dense-bf16 3.8 ms per 24-layer-step layer at [128, N, 64]
+    (scripts/ab_vit_attention.py). Larger/full-K blocks measured the same
+    within noise and risk the ~16 MB scoped-VMEM limit on the f32
+    [block_q, block_k] score tile.
 
     Two ways to express GMFlow's shifted-window -100 region bias:
 
@@ -161,9 +166,9 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
     """
     B, N, d = q.shape
     if block_q is None:
-        block_q = 512 if N >= 3072 else DEFAULT_BLOCK_Q
+        block_q = 512 if N >= 2048 else DEFAULT_BLOCK_Q
     if block_k is None:
-        block_k = 512 if N >= 3072 else DEFAULT_BLOCK_K
+        block_k = 512 if N >= 2048 else DEFAULT_BLOCK_K
     scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
     if ids is not None:
@@ -176,6 +181,12 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
 
     dqk = q.shape[-1]
     npad = -(-N // max(block_q, block_k)) * max(block_q, block_k)
+    # npad must tile exactly by BOTH blocks: grid uses integer division, so a
+    # non-divisor block_q would silently leave trailing query rows UNCOMPUTED
+    # (e.g. block_q=1024, block_k=2560 -> npad 2560, grid 2: rows 2048+ are
+    # garbage). Caught live in the round-3 block sweep — keep the assert.
+    assert npad % block_q == 0 and npad % block_k == 0, \
+        f"blocks ({block_q},{block_k}) do not tile padded N={npad}"
     qp = _pad_axis1(q, npad)
     kp = _pad_axis1(k, npad)
     vp = _pad_axis1(v, npad)
