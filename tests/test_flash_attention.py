@@ -30,6 +30,31 @@ def test_ragged_n_padded_and_masked():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_mismatched_blocks_rejected():
+    """block_q must tile the padded N exactly: the grid uses integer
+    division, so a non-divisor block silently leaves trailing query rows
+    uncomputed (caught live at block_q=1024, block_k=2560 -> npad 2560,
+    grid 2, rows 2048+ garbage). The kernel must refuse, not truncate."""
+    import pytest
+    q = jnp.zeros((1, 2443, 64), jnp.float32)
+    with pytest.raises(AssertionError, match="do not tile"):
+        flash_attention(q, q, q, block_q=1024, block_k=2560, interpret=True)
+
+
+def test_vit_depth_shape_512_blocks():
+    """The production ViT-L depth row length (N=2443, d=64) through the
+    512-token default blocks it now selects (N >= 2048)."""
+    rng = np.random.default_rng(3)
+    B, N, d = 2, 2443, 64
+    q = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _xla_attention(q, k, v, d ** -0.5)
+    assert out.shape == (B, N, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_region_ids_mask():
     """The ids argument reproduces the shifted-window -100 additive bias."""
     rng = np.random.default_rng(2)
