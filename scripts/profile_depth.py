@@ -94,6 +94,50 @@ def main():
     t_dpt = ms(head, (feats[0][0], params))
     print(f"dpt head:         {t_dpt:7.1f} ms")
 
+    # dpt internals: reassemble+scratch / refinenet ladder / output convs
+    dp = params["dpt"]
+
+    def reassemble(t0, params):
+        fs = [(t0, feats[0][1])] + feats[1:]
+        maps = []
+        for i, (tokens, _cls) in enumerate(fs):
+            x = tokens.reshape(batch, ph, pw, cfg.embed_dim)
+            x = dpt.pnn.conv2d(params["dpt"]["projects"][i], x)
+            if i == 0:
+                x = dpt.pnn.conv_transpose_blocky(params["dpt"]["resize0"], x)
+            elif i == 1:
+                x = dpt.pnn.conv_transpose_blocky(params["dpt"]["resize1"], x)
+            elif i == 3:
+                x = dpt.pnn.conv2d(params["dpt"]["resize3"], x, stride=2,
+                                   padding=1)
+            maps.append(dpt.pnn.conv2d(params["dpt"]["scratch"][i], x,
+                                       padding=1))
+        return maps[0]
+    t_re = ms(reassemble, (feats[0][0], params))
+    print(f"  reassemble:     {t_re:7.1f} ms")
+
+    l1s = (batch, ph * 4, pw * 4, 256)
+    l1 = jax.device_put(rng.normal(size=l1s).astype(jnp.bfloat16))
+
+    def refinenet1(l1, params):
+        return dpt._fusion(params["dpt"]["refinenet"][0], l1, l1)
+    t_r1 = ms(refinenet1, (l1, params))
+    print(f"  refinenet1 (4x):{t_r1:7.1f} ms  (largest of 4 ladder stages)")
+
+    p1 = jax.device_put(rng.normal(size=(batch, ph * 8, pw * 8, 256))
+                        .astype(jnp.bfloat16))
+
+    def outconvs(p1, params):
+        out = dpt.pnn.conv2d(params["dpt"]["output_conv1"], p1, padding=1)
+        out = resize2d(out, (ph * 14, pw * 14), method="linear",
+                       align_corners=True)
+        out = dpt.pnn.conv2d(params["dpt"]["output_conv2_0"], out, padding=1)
+        out = dpt.pnn.conv2d(params["dpt"]["output_conv2_2"],
+                             jax.nn.relu(out))
+        return out
+    t_oc = ms(outconvs, (p1, params))
+    print(f"  output convs:   {t_oc:7.1f} ms  (conv1@8x + 14x resize + head)")
+
     # stage 4: model-res depth -> 1080p + heatmap epilogue
     depth = jax.device_put(rng.normal(size=(batch, ph * 14, pw * 14))
                            .astype(np.float32).astype(jnp.bfloat16))
