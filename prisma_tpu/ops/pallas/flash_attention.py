@@ -43,6 +43,7 @@ DEFAULT_BLOCK_K = 256
 _NEG = -1e9  # score for padded keys
 _REGION_PENALTY = 100.0  # |gmflow shift-window bias|; sign folded via +same
 _ID_LANES = 128  # one-hot width (region ids must be < 128); one MXU lane tile
+_LOG2E = 1.4426950408889634  # scores carried in the exp2 domain (see kernel)
 
 
 def _mod_ramp(x, ww: int, maxv: int):
@@ -54,10 +55,21 @@ def _mod_ramp(x, ww: int, maxv: int):
     return x
 
 
-def _flash_kernel(*refs, block_k: int, n_kv: int, n_valid: int, scale: float,
+def _flash_kernel(*refs, block_k: int, n_kv: int, n_valid: int,
                   block_q: int = 0, win_w: int = 0, nwin: int = 0):
     # q/k/v stay in the input dtype for the MXU dots (bf16 x bf16 -> f32
-    # accumulate runs at 2x the all-f32 rate); softmax state is f32
+    # accumulate runs at 2x the all-f32 rate); softmax state is f32.
+    #
+    # The kernel is VPU-bound at the production head dims (d=64 halves the
+    # MXU contraction, so elementwise passes over the [BQ, BK] f32 score tile
+    # set the floor), hence two structural cuts:
+    #  - q arrives PRE-SCALED by d^-0.5 * log2(e) from the wrapper, so scores
+    #    live in the exp2 domain: no per-tile scale multiply, and the softmax
+    #    uses exp2 directly (exp lowers to exp2(x*log2e) — one multiply pass
+    #    per element saved). The -100 region bias is likewise log2e-scaled.
+    #  - the padded-key mask (iota compare + select, two more full-tile
+    #    passes) runs ONLY on the tiles that straddle n_valid: the fori_loop
+    #    covers the full tiles, a Python-unrolled tail handles the rest.
     if win_w:
         bands_ref, q_ref, k_ref, v_ref, o_ref = refs
         win = pl.program_id(0) % nwin
@@ -88,36 +100,46 @@ def _flash_kernel(*refs, block_k: int, n_kv: int, n_valid: int, scale: float,
         code_q = (2 * ((qrow + qi) >= bh * win_w).astype(jnp.int32)
                   + (wq >= bw).astype(jnp.int32))
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (1, block_k), 1)
-        if win_w:
-            ks = jax.lax.rem(i * block_k, win_w)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-            wk = _mod_ramp(ki + ks, win_w, block_k + win_w)
-            code_k = (2 * (col >= bh * win_w).astype(jnp.int32)
-                      + (wk >= bw).astype(jnp.int32))
-            s = jnp.where(code_q == code_k, s, s - _REGION_PENALTY)
-        if n_valid < n_kv:  # mask padded key columns
-            s = jnp.where(col < n_valid, s, _NEG)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+    def make_body(masked):
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+            if win_w or masked:
+                col = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_k), 1)
+            if win_w:
+                ks = jax.lax.rem(i * block_k, win_w)
+                ki = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                wk = _mod_ramp(ki + ks, win_w, block_k + win_w)
+                code_k = (2 * (col >= bh * win_w).astype(jnp.int32)
+                          + (wk >= bw).astype(jnp.int32))
+                s = jnp.where(code_q == code_k, s,
+                              s - _REGION_PENALTY * _LOG2E)
+            if masked:  # padded key columns on the n_valid-straddling tiles
+                s = jnp.where(col < n_valid, s, _NEG)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                        preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+        return body
 
-    acc = jnp.zeros((bq, dv), jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _m, l = jax.lax.fori_loop(0, n_kv // block_k, body, (acc, m0, l0))
+    carry = (jnp.zeros((bq, dv), jnp.float32),
+             jnp.full((bq, 1), _NEG, jnp.float32),
+             jnp.zeros((bq, 1), jnp.float32))
+    n_full = min(n_valid // block_k, n_kv // block_k)
+    if n_full > 0:
+        carry = jax.lax.fori_loop(0, n_full, make_body(False), carry)
+    masked_body = make_body(True)
+    for i in range(n_full, n_kv // block_k):
+        carry = masked_body(i, carry)
+    acc, _m, l = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -172,12 +194,15 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
     scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
     if ids is not None:
-        # one-hot(id) appended: q gets lam/scale so the kernel's global scale
-        # leaves a +lam bias on same-region pairs (softmax-equivalent to the
-        # reference's -100 on different-region pairs)
+        # one-hot(id) appended: q gets lam/scale so the global q pre-scale
+        # below leaves a +lam bias on same-region pairs (softmax-equivalent
+        # to the reference's -100 on different-region pairs)
         oh = jax.nn.one_hot(ids, _ID_LANES, dtype=q.dtype)  # [B, N, 128]
         q = jnp.concatenate([q, oh * (_REGION_PENALTY / scale)], axis=-1)
         k = jnp.concatenate([k, oh], axis=-1)
+    # fold the softmax scale and the exp->exp2 base change into q ONCE (one
+    # pass over q instead of a per-score-tile multiply; see _flash_kernel)
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
 
     dqk = q.shape[-1]
     npad = -(-N // max(block_q, block_k)) * max(block_q, block_k)
@@ -211,7 +236,7 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
         extra = dict(block_q=block_q, win_w=win_w, nwin=nwin)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, n_kv=npad,
-                               n_valid=N, scale=scale, **extra)
+                               n_valid=N, **extra)
     out = pl.pallas_call(
         kernel,
         grid=(B, npad // block_q),
