@@ -133,7 +133,7 @@ def convert_to_csv(folder: str, output: str, data: dict | None,
 
 def run(input_path: str, output: str = "", subpath: str = "sparse",
         refine: bool = False, undistort: bool = False,
-        runtime: RuntimeConfig | None = None) -> str:
+        runtime: RuntimeConfig | None = None, force: bool = True) -> str:
     data = meta.load_metadata(input_path)
     folder = input_path if os.path.isdir(input_path) \
         else os.path.dirname(input_path)
@@ -142,6 +142,11 @@ def run(input_path: str, output: str = "", subpath: str = "sparse",
         resolved = meta.get_url(input_path, data, "rgba")
         folder = os.path.dirname(resolved)
     csv_out = os.path.join(folder, BAND + ".csv")
+    if not force and os.path.exists(csv_out):
+        # idempotent re-run (reference camera_colmap.py:23 skip /
+        # check_overwrite): a finished reconstruction is left untouched
+        print(f"[{BAND}] skipping: {csv_out} exists; pass --force to redo")
+        return csv_out
 
     ok = run_reconstruction(folder, refine=refine, undistort=undistort,
                             subpath=subpath)
@@ -160,3 +165,29 @@ def run(input_path: str, output: str = "", subpath: str = "sparse",
             print("[camera_colmap] no sparse model found; skipping csv export")
     meta.write_metadata(input_path, data)
     return csv_out
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/camera_colmap.py:190-236)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m prisma_tpu.bands.camera_colmap_band")
+    parser.add_argument("--input", "-i", type=str, required=True,
+                        help="video path or PRISMA folder")
+    parser.add_argument("--output", "-o", type=str, default="")
+    parser.add_argument("--subpath", "-d", type=str, default="sparse")
+    parser.add_argument("--colmap_refine", "-r", action="store_true",
+                        help="adjust bundle by refining cameras")
+    parser.add_argument("--colmap_undistort", "-u", action="store_true",
+                        help="undistort images")
+    parser.add_argument("--force", "-F", action="store_true",
+                        help="recompute even if the csv already exists")
+    args = parser.parse_args(argv)
+    run(args.input, output=args.output, subpath=args.subpath,
+        refine=args.colmap_refine, undistort=args.colmap_undistort,
+        force=args.force)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,17 @@ def run(input_path: str, output: str = "", subpath: str = "",
     dtype = runtime.resolve_dtype()
 
     if kind == "metric":
+        import os
+        env = os.environ.get("PRISMA_ZOE_SIZE")  # test hook, e.g. "126,126"
+        img_size = tuple(int(v) for v in env.split(",")) if env else (392, 518)
         infer = functools.partial(jzoe.metric_depth_anything_infer,
-                                  encoder=enc_name, compute_dtype=dtype)
+                                  encoder=enc_name, compute_dtype=dtype,
+                                  img_size=img_size)
     else:
+        import os
+        target = int(os.environ.get("PRISMA_DA_TARGET", "518"))  # test hook
         infer = functools.partial(da.infer, encoder=enc_name,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype, target=target)
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
@@ -49,3 +55,24 @@ def run(input_path: str, output: str = "", subpath: str = "",
         depth_base.run_image(io, lambda f: jinfer(params_dev, f), flip=flip,
                              npy=npy, ply=ply)
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/depth_anything.py:254-292)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND, npy_ply=True)
+    parser.add_argument("--encoder", type=str, default="vitl",
+                        choices=["vits", "vitb", "vitl"])
+    parser.add_argument("--metric", type=str, default="none",
+                        choices=["none", "indoor", "outdoor"],
+                        help="use the metric (ZoeDepth-head) model")
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, encoder=args.encoder, metric=args.metric,
+                npy=args.npy, ply=args.ply, runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

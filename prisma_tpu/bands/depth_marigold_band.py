@@ -63,3 +63,25 @@ def run(input_path: str, output: str = "", subpath: str = "",
         depth_base.run_image(io, lambda f: infer(params, f), flip=flip,
                              npy=npy, ply=ply)
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/depth_marigold.py:188-214)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND, npy_ply=True)
+    parser.add_argument("--denoise_steps", type=int, default=DENOISE_STEPS)
+    parser.add_argument("--ensemble_size", type=int, default=ENSEMBLE_SIZE)
+    parser.add_argument("--processing_res", type=int,
+                        default=PROCESSING_RESOLUTION)
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, denoise_steps=args.denoise_steps,
+                ensemble_size=args.ensemble_size,
+                processing_res=args.processing_res, npy=args.npy,
+                ply=args.ply, runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,3 +48,23 @@ def run(input_path: str, output: str = "", subpath: str = "",
         depth_base.run_image(io, lambda f: jinfer(params_dev, f), flip=flip,
                              npy=npy, ply=ply)
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/depth_midas.py:170-218)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND, npy_ply=True)
+    parser.add_argument("--model", type=str, default="midas3",
+                        choices=["midas2-small", "midas2", "midas3-small",
+                                 "midas3"],
+                        help="model_version (depth_midas.py:26)")
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, model_version=args.model, npy=args.npy,
+                ply=args.ply, runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,8 @@ from prisma_tpu.weights.store import load_patchfusion
 BAND = "depth_patchfusion"
 
 
-def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype):
+def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype,
+                  tile_batch=None):
     """Host loop over frames (each frame runs the jitted tile passes).
 
     idx0 (global frame index, depth_base non-fused contract) is unused:
@@ -30,7 +31,8 @@ def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype):
     outs = []
     for f in np.asarray(frames_u8):
         outs.append(pf.infer(params, f.astype(np.float32) / 255.0, mode=mode,
-                             compute_dtype=dtype, model_hw=model_hw))
+                             compute_dtype=dtype, model_hw=model_hw,
+                             tile_batch=tile_batch))
     return jnp.asarray(np.stack(outs))
 
 
@@ -42,8 +44,11 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params, model_hw = load_patchfusion(runtime)
     dtype = runtime.resolve_dtype()
+    import os
+    env = os.environ.get("PRISMA_PF_TILE_BATCH")  # tunnel-vs-local knob
     infer = functools.partial(_infer_frames, mode=mode, model_hw=model_hw,
-                              dtype=dtype)
+                              dtype=dtype,
+                              tile_batch=int(env) if env else None)
     flip = False  # metric
 
     if io.is_video():
@@ -55,3 +60,21 @@ def run(input_path: str, output: str = "", subpath: str = "",
         depth_base.run_image(io, lambda f: infer(params, f), flip=flip,
                              npy=npy, ply=ply)
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/depth_patchfusion.py:230-255)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND, npy_ply=True)
+    parser.add_argument("--mode", type=str, default="r128",
+                        help="p16, p49 or rN (N random tiles)")
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, mode=args.mode, npy=args.npy,
+                ply=args.ply, runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,12 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params = load_zoed(runtime)
     dtype = runtime.resolve_dtype()
-    infer = functools.partial(jzoed.infer, compute_dtype=dtype)
+    import os
+    env = os.environ.get("PRISMA_ZOED_SIZE")  # tests shrink the BEiT grid
+    img_size = tuple(int(v) for v in env.split(",")) if env \
+        else jzoed.IMG_SIZE
+    infer = functools.partial(jzoed.infer, compute_dtype=dtype,
+                              img_size=img_size)
     flip = False  # metric depth
 
     if io.is_video():
@@ -41,3 +46,19 @@ def run(input_path: str, output: str = "", subpath: str = "",
         depth_base.run_image(io, lambda f: jinfer(params_dev, f), flip=flip,
                              npy=npy, ply=ply)
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/depth_zoedepth.py:170-200)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND, npy_ply=True)
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, npy=args.npy, ply=args.ply,
+                runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ def run_flow_band(band: str, input_path: str, params, infer_pairs: Callable,
     runtime = runtime or RuntimeConfig()
     io = resolve(band, input_path, output=output, force_extension="mp4",
                  runtime=runtime)
+    if callable(params):
+        # lazy weights: resolve (and its exists-and-not-forced FileExists
+        # skip) happens before any checkpoint load / device work
+        params = params()
     out_base = io.output.rsplit(".", 1)[0]
 
     flo_dir = ""

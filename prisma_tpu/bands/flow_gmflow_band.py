@@ -31,7 +31,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
     variant (jgm.refine_config() for the 2-scale gmflow_with_refine)."""
     runtime = runtime or RuntimeConfig()
     cfg = cfg or jgm.GMFlowConfig()
-    params = load_gmflow(runtime, cfg)
+    params = lambda: load_gmflow(runtime, cfg)  # noqa: E731 — after resolve
     infer = functools.partial(jgm.infer_pairs, cfg=cfg)
     if inference_size is not None:
         infer = functools.partial(infer, inference_size=tuple(inference_size))
@@ -43,13 +43,10 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
 def main(argv=None):
     """Standalone band CLI (reference bands/flow_gmflow.py flag surface)."""
-    import argparse
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
 
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--input", "-i", type=str, required=True)
-    parser.add_argument("--output", "-o", type=str, default="")
-    parser.add_argument("--subpath", help="path to flo files", type=str,
-                        default="")
+    parser = band_parser(BAND)
     parser.add_argument("--backwards", "-b", action="store_true")
     parser.add_argument("--mask", action="store_true",
                         help="compute consistency-mask videos as well")
@@ -70,15 +67,8 @@ def main(argv=None):
     parser.add_argument("--prop_radius_list", type=int, nargs="+",
                         default=None, help="-1 = global propagation")
     parser.add_argument("--padding_factor", type=int, default=None)
-    parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["float32", "bfloat16"])
-    parser.add_argument("--random_weights", action="store_true")
-    parser.add_argument("--segment_frames", type=int, default=64)
     args = parser.parse_args(argv)
-    runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
-                            random_weights=args.random_weights,
-                            segment_frames=args.segment_frames)
+    runtime = runtime_from_args(args)
     kw = {}
     if args.num_scales > 1:
         kw = dict(num_scales=2, upsample_factor=4, padding_factor=32)
@@ -89,10 +79,11 @@ def main(argv=None):
         if getattr(args, name) is not None:
             kw[name] = tuple(getattr(args, name))
     cfg = jgm.GMFlowConfig(**kw) if kw else None
-    run(args.input, output=args.output, subpath=args.subpath,
-        backwards=args.backwards, mask=args.mask,
-        subpath_mask=args.subpath_mask, scale=args.scale,
-        inference_size=args.inference_size, cfg=cfg, runtime=runtime)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, backwards=args.backwards,
+                mask=args.mask, subpath_mask=args.subpath_mask,
+                scale=args.scale, inference_size=args.inference_size, cfg=cfg,
+                runtime=runtime)
 
 
 if __name__ == "__main__":

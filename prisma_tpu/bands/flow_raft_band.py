@@ -22,7 +22,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
         iterations: int = ITERATIONS, scale: float = 0.75,
         runtime: RuntimeConfig | None = None) -> BandIO:
     runtime = runtime or RuntimeConfig()
-    params = load_raft(runtime)
+    params = lambda: load_raft(runtime)  # noqa: E731 — loaded after resolve
     # volume_onehot: materialized bf16 pyramid + one-hot MXU-matmul window
     # lookup — measured 4.7x faster than take_along_axis row gathers on the
     # v5e (4.48 vs 0.95 pair-fps at 810x1440x20it). PRISMA_RAFT_CORR=fused
@@ -39,13 +39,10 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
 def main(argv=None):
     """Standalone band CLI (reference bands/flow_raft.py flag surface)."""
-    import argparse
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
 
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--input", "-i", type=str, required=True)
-    parser.add_argument("--output", "-o", type=str, default="")
-    parser.add_argument("--subpath", help="path to flo files", type=str,
-                        default="")
+    parser = band_parser(BAND)
     parser.add_argument("--backwards", "-b", action="store_true")
     parser.add_argument("--mask", action="store_true",
                         help="compute consistency-mask videos as well")
@@ -53,19 +50,12 @@ def main(argv=None):
                         help="folder for 16-bit packed flow+validity PNGs")
     parser.add_argument("--iterations", type=int, default=ITERATIONS)
     parser.add_argument("--scale", type=float, default=0.75)
-    parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["float32", "bfloat16"])
-    parser.add_argument("--random_weights", action="store_true")
-    parser.add_argument("--segment_frames", type=int, default=64)
     args = parser.parse_args(argv)
-    runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
-                            random_weights=args.random_weights,
-                            segment_frames=args.segment_frames)
-    run(args.input, output=args.output, subpath=args.subpath,
-        backwards=args.backwards, mask=args.mask,
-        subpath_mask=args.subpath_mask, iterations=args.iterations,
-        scale=args.scale, runtime=runtime)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, backwards=args.backwards,
+                mask=args.mask, subpath_mask=args.subpath_mask,
+                iterations=args.iterations, scale=args.scale,
+                runtime=runtime_from_args(args))
 
 
 if __name__ == "__main__":

@@ -164,3 +164,24 @@ def run(input_path: str, output: str = "", subpath: str = "",
             entry["folder"] = subpath
     io.finish()
     return io
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/mask_mmdet.py:150-198)."""
+    from prisma_tpu.bands.cli import band_parser, run_guarded, \
+        runtime_from_args
+
+    parser = band_parser(BAND)
+    parser.add_argument("--confidence", "-c", type=float,
+                        default=CONFIDENCE_THRESHOLD,
+                        help="confidence threshold")
+    parser.add_argument("--sdf", "-s", action="store_true",
+                        help="encode SDF on the GREEN channel")
+    args = parser.parse_args(argv)
+    run_guarded(BAND, run, args.input, output=args.output,
+                subpath=args.subpath, sdf=args.sdf,
+                confidence=args.confidence, runtime=runtime_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,3 +86,33 @@ def run(io: BandIO, fps: float = 24, rgbd: str = "none",
     else:
         process_image(io)
     io.finish()
+
+
+def main(argv=None):
+    """Standalone band CLI (reference bands/rgba.py:125-190)."""
+    from prisma_tpu.bands.base import resolve
+    from prisma_tpu.bands.cli import band_parser, runtime_from_args
+
+    parser = band_parser("rgba")
+    parser.add_argument("--fps", "-r", help="fix framerate of videos",
+                        type=float, default=24)
+    parser.add_argument("--rgbd", help="where the depth half is",
+                        choices=["none", "left", "right", "top", "bottom"],
+                        default="none")
+    parser.add_argument("--encoding_depth", choices=["none", "hue"],
+                        default="none", help="encoding of the depth half")
+    parser.add_argument("--output_depth", type=str, default="",
+                        help="output file for the split-off depth video")
+    args = parser.parse_args(argv)
+    try:
+        io = resolve("rgba", args.input, output=args.output,
+                     subpath=args.subpath, runtime=runtime_from_args(args))
+    except FileExistsError as e:
+        print(f"[rgba] skipping: {e}; pass --force to recompute")
+        return
+    run(io, fps=args.fps, rgbd=args.rgbd, encoding_depth=args.encoding_depth,
+        output_depth=args.output_depth)
+
+
+if __name__ == "__main__":
+    main()

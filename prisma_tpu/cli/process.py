@@ -65,8 +65,16 @@ def run_band(band: str, folder: str, runtime, subpath: bool = False,
         # every reference band is registered; an unknown name is a user error
         raise ValueError(f"unknown band '{band}' "
                          f"(known: {sorted(_implemented_bands())})")
-    impl(folder, subpath=SUBFOLDERS[band] if subpath else "", runtime=runtime,
-         **kwargs)
+    if band == "camera_colmap":
+        kwargs["force"] = runtime.overwrite
+    try:
+        impl(folder, subpath=SUBFOLDERS[band] if subpath else "",
+             runtime=runtime, **kwargs)
+    except FileExistsError as e:
+        # idempotent re-run (reference check_overwrite, common/io.py:35-51):
+        # a band whose output exists is skipped before any device work
+        print(f"#  {band}: skipping ({e}); pass --force to recompute")
+        return False
     return True
 
 
@@ -112,11 +120,15 @@ def main(argv=None):
     parser.add_argument("--segment_frames", type=int, default=64,
                         help="mp4 segment size for frame-index resume "
                              "(0 disables resume)")
+    parser.add_argument("--force", "-F", action="store_true",
+                        help="recompute bands whose output already exists "
+                             "(without it a finished folder is a no-op)")
     args = parser.parse_args(argv)
 
     runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
                             random_weights=args.random_weights,
-                            segment_frames=args.segment_frames)
+                            segment_frames=args.segment_frames,
+                            overwrite=args.force)
 
     input_path = args.input
     input_folder = os.path.dirname(input_path)
@@ -154,15 +166,19 @@ def main(argv=None):
     # rgba always runs first, with the images/ subpath (reference process.py:172)
     meta.add_band(data, "rgba", url=name_rgba)
     meta.write_metadata(folder_name, data)
-    rgba_io = resolve_band("rgba", input_path, output=path_rgba,
-                           subpath=SUBFOLDERS["rgba"], runtime=runtime,
-                           force_extension="png")
-    rgba_io.data = data
-    rgba_io.meta_root = folder_name
-    rgba_band.run(rgba_io, fps=args.fps, rgbd=args.rgbd or "none",
-                  encoding_depth=encoding_depth,
-                  output_depth=os.path.join(folder_name, "depth." + extension)
-                  if args.rgbd else "")
+    try:
+        rgba_io = resolve_band("rgba", input_path, output=path_rgba,
+                               subpath=SUBFOLDERS["rgba"], runtime=runtime,
+                               force_extension="png")
+        rgba_io.data = data
+        rgba_io.meta_root = folder_name
+        rgba_band.run(rgba_io, fps=args.fps, rgbd=args.rgbd or "none",
+                      encoding_depth=encoding_depth,
+                      output_depth=os.path.join(folder_name,
+                                                "depth." + extension)
+                      if args.rgbd else "")
+    except FileExistsError as e:
+        print(f"#  rgba: skipping ({e}); pass --force to recompute")
     data = meta.load_metadata(folder_name)
 
     # global media metadata (process.py:175-189)

@@ -46,11 +46,15 @@ def forward(params: dict, x: jnp.ndarray, encoder: str = "vitl", precision=None)
 
 
 def infer(params: dict, frames_u8: jnp.ndarray, encoder: str = "vitl",
-          precision=None, compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Full driver-equivalent inference: uint8 frames [B, H, W, 3] -> depth [B, H, W]."""
-    import os
+          precision=None, compute_dtype=jnp.float32,
+          target: int = 518) -> jnp.ndarray:
+    """Full driver-equivalent inference: uint8 frames [B, H, W, 3] -> depth [B, H, W].
+
+    target: ViT input budget (lower_bound resize target, reference
+    dpt.py:image2tensor 518); tests shrink it via the band's
+    PRISMA_DA_TARGET env hook — the model itself takes it as an argument.
+    """
     B, H, W, _ = frames_u8.shape
-    target = int(os.environ.get("PRISMA_DA_TARGET", "518"))  # tests shrink this
     w2, h2 = dpt_input_size(W, H, target=target)
     # pre/post resizes run in the compute dtype: on TPU the 1080p resampling
     # matmuls would otherwise dominate the step (f32 multi-pass MXU)
@@ -65,16 +69,19 @@ def infer(params: dict, frames_u8: jnp.ndarray, encoder: str = "vitl",
     return depth.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("encoder", "flip", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("encoder", "flip",
+                                             "compute_dtype", "target"))
 def infer_video_batch(params: dict, frames_u8: jnp.ndarray, encoder: str = "vitl",
-                      flip: bool = True, compute_dtype=jnp.float32):
+                      flip: bool = True, compute_dtype=jnp.float32,
+                      target: int = 518):
     """Batched video step with fused heatmap epilogue.
 
     Returns (heat_rgb_u8 [B, H, W, 3], mins [B], maxs [B]) — the mp4 frame plus
     the per-frame CSV stats (reference depth_anything.py:214-221 semantics:
     per-frame min/max normalize, optional flip, heat_to_rgb, no edge desat).
     """
-    depth = infer(params, frames_u8, encoder, compute_dtype=compute_dtype)
+    depth = infer(params, frames_u8, encoder, compute_dtype=compute_dtype,
+                  target=target)
     dmin = jnp.min(depth, axis=(1, 2))
     dmax = jnp.max(depth, axis=(1, 2))
     norm = (depth - dmin[:, None, None]) / (dmax - dmin)[:, None, None]

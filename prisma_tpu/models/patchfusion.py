@@ -21,7 +21,6 @@ is an on-device scatter-add of masked tile maps.
 from __future__ import annotations
 
 import functools
-import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -575,7 +574,8 @@ def _tile_runner(compute_dtype, model_hw, precision):
 
 
 def infer(params, image_float, mode: str = "p16", precision=None,
-          compute_dtype=jnp.float32, model_hw=MODEL_HW):
+          compute_dtype=jnp.float32, model_hw=MODEL_HW,
+          tile_batch: int | None = None):
     """Full PatchFusion inference on one image [H, W, 3] float in [0,1].
 
     Returns depth [H, W] float32 at the input resolution. On a multi-chip
@@ -601,8 +601,12 @@ def infer(params, image_float, mode: str = "p16", precision=None,
                                          precision)
     prep, accum = _pass_runner(crop, tuple(model_hw))
     # tiles per fine-pass call: bounds both HBM peak and the size of the
-    # compile unit (the full 16-tile p49 pass broke the remote TPU compiler)
-    tile_batch = int(os.environ.get("PRISMA_PF_TILE_BATCH", "8"))
+    # compile unit. The default 8 exists because the one-jit 16-tile p49 pass
+    # crashes the REMOTE (tunneled) TPU compiler; on a local chip pass
+    # tile_batch=16 (or set PRISMA_PF_TILE_BATCH in the band) to fuse the
+    # half-offset passes into one executable.
+    if tile_batch is None:
+        tile_batch = 8
 
     img_t_dev = img_t
     avg_map = jnp.zeros(resolution, jnp.float32)

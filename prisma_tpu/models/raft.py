@@ -513,15 +513,17 @@ def _motion_encoder(p, flow, corr, precision=None):
 
 
 def _conv_1x5(p, x, precision=None):
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x, p["w"], (1, 1), [(0, 0), (2, 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision) + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    return y + p["b"] if "b" in p else y
 
 
 def _conv_5x1(p, x, precision=None):
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x, p["w"], (1, 1), [(2, 2), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision) + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    return y + p["b"] if "b" in p else y
 
 
 def _sep_conv_gru(p, h, x, precision=None):
@@ -541,6 +543,122 @@ def _sep_conv_gru(p, h, x, precision=None):
         z, r = zr[..., :C], zr[..., C:]
         q = jnp.tanh(conv(p["convq" + suffix],
                           jnp.concatenate([r * h, x], -1), precision))
+        h = (1 - z) * h + z * q
+    return h
+
+
+def _motion_encoder_fused(p, flow, corr, precision=None):
+    """Motion encoder with consolidated convs — bit-identical outputs.
+
+    Same math as _motion_encoder in fewer, wider device ops (measured on v5e:
+    each in-scan conv carries ~0.3 ms of fixed cost regardless of FLOPs):
+    - convf1 (7x7 over the 2-channel flow) runs as one im2col matmul: a
+      2-input-channel conv is layout-bound on TPU (0.33 ms/iter for
+      1.8 GFLOP); the 49 shifted slices fuse into the dot's operand.
+    - convc2 (3x3 256->192 on cor) and convf2 (3x3 128->64 on flo) share
+      geometry, so they run as ONE block-diagonal 3x3 conv over the concat;
+      the zero off-diagonal blocks contribute exact zeros to the f32
+      accumulation, and the [cor2|flo2] output channel layout is exactly the
+      concat the final conv expects (update.py:16-26).
+    """
+    cor = _relu(pnn.conv2d(p["convc1"], corr, precision=precision))
+    B, H, W, _ = flow.shape
+    fp = jnp.pad(flow, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    cols = jnp.concatenate([fp[:, i:i + H, j:j + W] for i in range(7)
+                            for j in range(7)], axis=-1)
+    wf1 = p["convf1"]["w"].reshape(-1, p["convf1"]["w"].shape[-1])
+    flo = _relu(jnp.dot(cols, wf1, precision=precision) + p["convf1"]["b"])
+    wc2, wf2 = p["convc2"]["w"], p["convf2"]["w"]
+    cc, co = wc2.shape[2], wc2.shape[3]
+    fc, fo = wf2.shape[2], wf2.shape[3]
+    w_bd = jnp.concatenate([
+        jnp.concatenate([wc2, jnp.zeros(wc2.shape[:2] + (cc, fo),
+                                        wc2.dtype)], -1),
+        jnp.concatenate([jnp.zeros(wf2.shape[:2] + (fc, co), wf2.dtype),
+                         wf2], -1)], axis=2)
+    b_bd = jnp.concatenate([p["convc2"]["b"], p["convf2"]["b"]])
+    cf = _relu(pnn.conv2d({"w": w_bd, "b": b_bd},
+                          jnp.concatenate([cor, flo], -1), padding=1,
+                          precision=precision))
+    out = _relu(pnn.conv2d(p["conv"], cf, padding=1, precision=precision))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _gru_fused_prepare(p, inp, hidden_dim: int, precision=None):
+    """Split every SepConvGRU conv by input source; hoist the context part.
+
+    The reference GRU conv input (update.py:33-56) is concat(h, inp, motion)
+    where `inp` — the context-encoder features — is LOOP-INVARIANT across the
+    20 refinement iterations, yet the reference re-contracts it every
+    iteration. A conv over a channel-concat equals the sum of convs over the
+    parts, so each gate conv splits into three independent contractions and
+    the inp one (plus the bias) is computed ONCE here, outside the scan.
+    In-loop work per direction drops from two 384-in-channel convs over a
+    materialized [N, 384] concat to three concat-free convs over 128/256
+    channels (motion->[z|r|q] x-parts, h->[z|r], r*h->q): 1/3 fewer MACs and
+    no concat buffer round-trips. Numerics: partial sums round once more than
+    the single-conv form (~1 ulp per add); on the f32 parity path only the
+    accumulation order changes.
+    """
+    C = hidden_dim
+    D = inp.shape[-1]
+    prep = []
+    for conv, suffix in ((_conv_1x5, "1"), (_conv_5x1, "2")):
+        ws = [p[f"conv{g}{suffix}"]["w"] for g in "zrq"]
+        bs = [p[f"conv{g}{suffix}"]["b"] for g in "zrq"]
+        w_h_zr = jnp.concatenate([w[:, :, :C] for w in ws[:2]], axis=-1)
+        w_h_q = ws[2][:, :, :C]
+        w_mot = jnp.concatenate([w[:, :, C + D:] for w in ws], axis=-1)
+        w_inp = jnp.concatenate([w[:, :, C:C + D] for w in ws], axis=-1)
+        const = conv({"w": w_inp, "b": jnp.concatenate(bs)}, inp, precision)
+        prep.append((conv, {"w": w_h_zr}, {"w": w_h_q}, {"w": w_mot}, const))
+    return prep
+
+
+def _sep_conv_gru_fused(prep, h, motion, precision=None):
+    """Fused-form SepConvGRU step over `prep` from _gru_fused_prepare."""
+    C = h.shape[-1]
+    for conv, p_h_zr, p_h_q, p_mot, const in prep:
+        x3 = conv(p_mot, motion, precision) + const   # [.., 3C] z|r|q x-parts
+        zr = jax.nn.sigmoid(conv(p_h_zr, h, precision) + x3[..., :2 * C])
+        z, r = zr[..., :C], zr[..., C:]
+        q = jnp.tanh(conv(p_h_q, r * h, precision) + x3[..., 2 * C:])
+        h = (1 - z) * h + z * q
+    return h
+
+
+def _gru_fused2_prepare(p, inp, hidden_dim: int, precision=None):
+    """Like _gru_fused_prepare, but the h and motion contractions merge into
+    ONE pass-A conv over concat(h, motion) -> [z|r|q_x] (the q output block
+    carries exact-zero weights on the h rows). Two in-loop convs per
+    direction instead of three: on v5e each in-scan conv costs ~0.3 ms fixed,
+    which dominates the ~20% extra (zero-block) MACs."""
+    C = hidden_dim
+    D = inp.shape[-1]
+    prep = []
+    for conv, suffix in ((_conv_1x5, "1"), (_conv_5x1, "2")):
+        wz, wr, wq = (p[f"conv{g}{suffix}"]["w"] for g in "zrq")
+        bs = [p[f"conv{g}{suffix}"]["b"] for g in "zrq"]
+        w_a = jnp.concatenate([
+            jnp.concatenate([wz[:, :, :C], wr[:, :, :C],
+                             jnp.zeros_like(wq[:, :, :C])], -1),
+            jnp.concatenate([wz[:, :, C + D:], wr[:, :, C + D:],
+                             wq[:, :, C + D:]], -1)], axis=2)
+        w_inp = jnp.concatenate([w[:, :, C:C + D] for w in (wz, wr, wq)], -1)
+        const = conv({"w": w_inp, "b": jnp.concatenate(bs)}, inp, precision)
+        prep.append((conv, {"w": w_a}, {"w": wq[:, :, :C]}, const))
+    return prep
+
+
+def _sep_conv_gru_fused2(prep, h, motion, precision=None):
+    """Pass-A-form SepConvGRU step over `prep` from _gru_fused2_prepare."""
+    C = h.shape[-1]
+    for conv, p_a, p_q_h, const in prep:
+        hm = jnp.concatenate([h, motion], axis=-1)
+        x3 = conv(p_a, hm, precision) + const         # [.., 3C] z|r|q_x
+        zr = jax.nn.sigmoid(x3[..., :2 * C])
+        z, r = zr[..., :C], zr[..., C:]
+        q = jnp.tanh(conv(p_q_h, r * h, precision) + x3[..., 2 * C:])
         h = (1 - z) * h + z * q
     return h
 
@@ -583,7 +701,7 @@ def convex_upsample(flow, mask, factor: int = 8):
 
 def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
             iters: int | None = None, precision=None,
-            corr_impl: str = "volume"):
+            corr_impl: str = "volume", gru_impl: str = "fused", fmaps=None):
     """image1/2: [B, H, W, 3] float in [0, 255], H and W multiples of 8.
 
     Returns (flow_lowres [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
@@ -594,15 +712,27 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     matmuls — no gather descriptors), or 'fused' (alt_cuda_corr-equivalent
     on-the-fly computation; exact, O(HW) memory, but per-tap feature gathers
     are slow on TPU — use when the volume OOMs).
+
+    gru_impl: 'fused' (default — context contribution hoisted out of the
+    scan, concat-free split convs; see _gru_fused_prepare), 'fused2'
+    (wider-conv consolidation — measured SLOWER on v5e, kept as the negative
+    A/B result) or 'reference' (the concat formulation, numerics oracle).
+
+    fmaps: optional precomputed (fmap1, fmap2) feature maps, letting callers
+    with duplicated images in the doubled fwd+bwd batch (infer_pairs) run the
+    feature encoder once per unique image.
     """
     iters = cfg.iters if iters is None else iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
-    img2 = 2.0 * (image2 / 255.0) - 1.0
 
-    both = jnp.concatenate([img1, img2], axis=0)
-    fmaps = encoder_forward(params["fnet"], both, "instance", precision)
     B = image1.shape[0]
-    fmap1, fmap2 = fmaps[:B], fmaps[B:]
+    if fmaps is None:
+        img2 = 2.0 * (image2 / 255.0) - 1.0
+        both = jnp.concatenate([img1, img2], axis=0)
+        fm = encoder_forward(params["fnet"], both, "instance", precision)
+        fmap1, fmap2 = fm[:B], fm[B:]
+    else:
+        fmap1, fmap2 = fmaps
     if corr_impl == "fused":
         f2_pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
     elif corr_impl == "volume_pallas":
@@ -623,6 +753,13 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     cnet = encoder_forward(params["cnet"], img1, "affine", precision)
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
     inp = _relu(cnet[..., cfg.hidden_dim:])
+    if gru_impl == "fused":
+        # loop-invariant context contraction, hoisted out of the scan
+        gru_prep = _gru_fused_prepare(params["update"]["gru"], inp,
+                                      cfg.hidden_dim, precision)
+    elif gru_impl == "fused2":
+        gru_prep = _gru_fused2_prepare(params["update"]["gru"], inp,
+                                       cfg.hidden_dim, precision)
 
     H8, W8 = fmap1.shape[1], fmap1.shape[2]
     gx, gy = jnp.meshgrid(jnp.arange(W8, dtype=jnp.float32),
@@ -644,11 +781,18 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                                        "volume_onehot_packed": "packed"}.get(
                                            corr_impl, False))
         flow = coords1 - coords0
-        motion = _motion_encoder(params["update"]["encoder"],
-                                 flow.astype(dtype), corr.astype(dtype),
-                                 precision)
-        gru_in = jnp.concatenate([inp, motion], axis=-1)
-        net = _sep_conv_gru(params["update"]["gru"], net, gru_in, precision)
+        me = _motion_encoder_fused if gru_impl == "fused2" \
+            else _motion_encoder
+        motion = me(params["update"]["encoder"], flow.astype(dtype),
+                    corr.astype(dtype), precision)
+        if gru_impl == "fused":
+            net = _sep_conv_gru_fused(gru_prep, net, motion, precision)
+        elif gru_impl == "fused2":
+            net = _sep_conv_gru_fused2(gru_prep, net, motion, precision)
+        else:
+            gru_in = jnp.concatenate([inp, motion], axis=-1)
+            net = _sep_conv_gru(params["update"]["gru"], net, gru_in,
+                                precision)
         delta = _flow_head(params["update"]["flow_head"], net, precision)
         return (net, coords1 + delta.astype(jnp.float32)), None
 
@@ -679,7 +823,7 @@ def unpad(x, pads):
 
 def infer_pairs(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                 iters: int | None = None, precision=None,
-                corr_impl: str = "volume"):
+                corr_impl: str = "volume", gru_impl: str = "fused"):
     """Driver-equivalent inference with padding: fwd+bwd in one doubled batch.
 
     image1/2: [B, H, W, 3] float 0-255 (already scaled by the driver's 0.75).
@@ -689,7 +833,16 @@ def infer_pairs(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     i2, _ = pad_to_multiple(image2)
     a = jnp.concatenate([i1, i2], axis=0)
     b = jnp.concatenate([i2, i1], axis=0)
-    _, flow_up = forward(params, a, b, cfg, iters, precision, corr_impl)
+    # the doubled batch holds only 2B unique images — run the feature encoder
+    # once per unique image and assemble the fwd/bwd fmaps by concatenation
+    # (bit-identical: both the convs and the instance norm are per-sample)
+    B = image1.shape[0]
+    fm = encoder_forward(params["fnet"], 2.0 * (a / 255.0) - 1.0, "instance",
+                         precision)
+    e1, e2 = fm[:B], fm[B:]
+    fmaps = (fm, jnp.concatenate([e2, e1], axis=0))
+    _, flow_up = forward(params, a, b, cfg, iters, precision, corr_impl,
+                         gru_impl, fmaps=fmaps)
     flow_up = unpad(flow_up, pads)
     B = image1.shape[0]
     return flow_up[:B], flow_up[B:]

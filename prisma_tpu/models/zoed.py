@@ -60,11 +60,6 @@ def infer(params, frames_u8, cfg=ZOED_N_CONFIG, img_size=IMG_SIZE,
           pad_input: bool = True, with_flip_aug: bool = True, precision=None,
           compute_dtype=jnp.float32):
     """infer_pil-equivalent: uint8 [B, H, W, 3] -> metric depth [B, H, W]."""
-    import os
-    env = os.environ.get("PRISMA_ZOED_SIZE")  # tests shrink this
-    if env:
-        img_size = tuple(int(v) for v in env.split(","))
-
     B, H, W, _ = frames_u8.shape
     img = frames_u8.astype(jnp.float32) / 255.0
     if pad_input:

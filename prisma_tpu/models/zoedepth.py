@@ -205,11 +205,7 @@ def metric_depth_anything_infer(params, frames_u8, encoder: str = "vitl",
     from prisma_tpu.models import dpt as pdpt
     from prisma_tpu.models import vit as pvit
 
-    import os
     B, H, W, _ = frames_u8.shape
-    env = os.environ.get("PRISMA_ZOE_SIZE")  # tests shrink this, e.g. "126,154"
-    if env:
-        img_size = tuple(int(v) for v in env.split(","))
     h2, w2 = img_size
     img = frames_u8.astype(jnp.float32) / 255.0
     mean = jnp.asarray(da.IMAGENET_MEAN)

@@ -91,9 +91,7 @@ def test_depth_band_multichip_sharded(tmp_path):
     kind, params, enc = load_depth_anything(runtime, encoder="vits")
     import functools
     from prisma_tpu.models import depth_anything as da
-    import os
-    os.environ["PRISMA_DA_TARGET"] = "126"
-    infer = functools.partial(da.infer, encoder=enc)
+    infer = functools.partial(da.infer, encoder=enc, target=126)
     step = depth_base.make_step(params, infer, True, False)
     frames = np.random.default_rng(0).integers(0, 255, (8, 48, 64, 3)).astype(np.uint8)
     out = step(frames)

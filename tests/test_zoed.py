@@ -33,11 +33,10 @@ def test_rel_pos_table_resize_passthrough():
     np.testing.assert_allclose(out2[-3:], table[-3:], atol=1e-6)  # cls rows unchanged
 
 
-def test_zoed_infer_shapes(monkeypatch):
-    monkeypatch.setenv("PRISMA_ZOED_SIZE", "64,96")
+def test_zoed_infer_shapes():
     params = jzoed.init_params(jax.random.key(0), depth=4)
     frames = np.random.default_rng(0).integers(0, 255, (1, 40, 56, 3)).astype(np.uint8)
-    out = jzoed.infer(params, frames)
+    out = jzoed.infer(params, frames, img_size=(64, 96))
     assert np.asarray(out).shape == (1, 40, 56)
     assert np.isfinite(np.asarray(out)).all()
 
