@@ -180,6 +180,38 @@ def bench_flow_gmflow():
             "vs_baseline": fps / NORTH_STAR_PER_CHIP}
 
 
+def bench_flow_gmflow_refine():
+    """gmflow_with_refine (--num_scales 2): the 2-scale trident/local-corr
+    refinement path at the band shape (VERDICT r3 item 7) — doubles as the
+    stress test for the 1/4-resolution local-correlation graph."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prisma_tpu.models import gmflow as jgm
+    from prisma_tpu.weights.store import cast_params
+
+    cfg = jgm.refine_config()
+    params = jax.device_put(cast_params(
+        jgm.init_params(jax.random.key(2), cfg), jnp.bfloat16))
+    h, w = 810, 1440
+    pairs = int(os.environ.get("PRISMA_BENCH_GMFLOW_PAIRS", "4"))
+
+    @jax.jit
+    def step(params, i1, i2):
+        return jgm.infer_pairs(params, i1.astype(jnp.bfloat16),
+                               i2.astype(jnp.bfloat16), cfg)
+
+    rng = np.random.default_rng(0)
+    i1 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
+    fps = _device_bench(step, (params, i1, i2), 3, pairs)
+    return {"metric": "flow_gmflow_refine_810x1440_bidir_pair_fps",
+            "value": fps, "unit": "pairs/s/chip",
+            "vs_baseline": fps / NORTH_STAR_PER_CHIP,
+            "note": "2-scale refinement (--num_scales 2); the tracked "
+                    "BASELINE config is the 1-scale gmflow"}
+
+
 def bench_mask():
     import jax
     import jax.numpy as jnp
@@ -395,16 +427,94 @@ def bench_e2e():
                        "frames": nframes, "includes_compile": False}}
 
 
+def bench_host_io():
+    """Host-side half of the 3-band north star (VERDICT r3 item 3): can the
+    native codec decode one 1080p rgba stream and encode the three band mp4s
+    fast enough to feed the measured 11.17 device fps? Measures, on this
+    host's CPUs: (a) decode-only fps, (b) single-stream 1080p x264 encode
+    fps, (c) the full decode + 3x encode pipeline (VideoWriter's async worker
+    threads, the production structure). Reports (c) as the metric and the
+    cores-needed arithmetic in the note — this container exposes ONE core,
+    so the per-core rates are the honest result and the note scales them.
+    No TPU required."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from prisma_tpu.io.video import VideoReader, VideoWriter
+
+    nframes = int(os.environ.get("PRISMA_BENCH_HOSTIO_FRAMES", "48"))
+    work = tempfile.mkdtemp(prefix="prisma_hostio_")
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
+    # band-output-like frames: smooth heatmap-ish content (what depth/flow
+    # mp4s actually contain), not raw noise — x264 cost is content-dependent
+    yy, xx = np.mgrid[0:1080, 0:1920]
+    smooth = np.stack([(xx * 255 // 1920), (yy * 255 // 1080),
+                       ((xx + yy) * 255 // 3000)], -1).astype(np.uint8)
+
+    src = os.path.join(work, "rgba.mp4")
+    wr = VideoWriter(1920, 1080, 24.0, filename=src)
+    for i in range(nframes):
+        wr.write(np.roll(base, i * 7, axis=1))
+    wr.close()
+
+    ncpu = os.cpu_count() or 1
+
+    # (a) decode only
+    rd = VideoReader(src)
+    t0 = time.perf_counter()
+    n = sum(1 for _ in rd)
+    dec_fps = n / (time.perf_counter() - t0)
+    rd.close()
+
+    # (b) single-stream encode of band-like frames
+    wr = VideoWriter(1920, 1080, 24.0, filename=os.path.join(work, "enc.mp4"))
+    frames = [np.roll(smooth, i * 13, axis=1) for i in range(nframes)]
+    t0 = time.perf_counter()
+    for f in frames:
+        wr.write(f)
+    wr.close()
+    enc_fps = nframes / (time.perf_counter() - t0)
+
+    # (c) decode + 3x encode, async writer threads (production structure)
+    writers = [VideoWriter(1920, 1080, 24.0,
+                           filename=os.path.join(work, f"band{k}.mp4"))
+               for k in range(3)]
+    rd = VideoReader(src)
+    t0 = time.perf_counter()
+    n = 0
+    for frame in rd:
+        for k, w in enumerate(writers):
+            w.write(frames[n % nframes] if k else frame)
+        n += 1
+    for w in writers:
+        w.close()
+    pipe_fps = n / (time.perf_counter() - t0)
+    rd.close()
+    shutil.rmtree(work, ignore_errors=True)
+
+    need = 11.17 / pipe_fps  # cores-equivalents to feed the measured device rate
+    return {"metric": "host_io_3band_fps", "value": pipe_fps,
+            "unit": "frames/s", "vs_baseline": pipe_fps / NORTH_STAR_PER_CHIP,
+            "note": f"decode {dec_fps:.1f} fps, 1-stream encode "
+                    f"{enc_fps:.1f} fps, decode+3x-encode {pipe_fps:.1f} fps "
+                    f"on {ncpu} host core(s); feeding 11.17 device fps needs "
+                    f"~{need:.1f}x this host's cores"}
+
+
 BENCHES = {
     "depth_anything": bench_depth_anything,
     "depth_midas": bench_depth_midas,
     "flow_raft": bench_flow_raft,
     "flow_gmflow": bench_flow_gmflow,
+    "flow_gmflow_refine": bench_flow_gmflow_refine,
     "mask": bench_mask,
     "patchfusion": bench_patchfusion,
     "marigold": bench_marigold,
     "3band": bench_3band,
     "e2e": bench_e2e,
+    "host_io": bench_host_io,
 }
 
 

@@ -23,13 +23,83 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+# torch buffers that carry no inference-time information: BN step counters,
+# and index/mask buffers the models recompute from geometry (BEiT/Swin).
+DEFAULT_IGNORE = ("*num_batches_tracked", "*relative_position_index",
+                  "*attn_mask")
+
+
+class TrackedStateDict(dict):
+    """state_dict wrapper recording which keys a converter actually read.
+
+    Structural parity tests feed random weights through the real reference
+    torch modules, which proves layouts but is blind to a converter silently
+    DROPPING a tensor (a key-name typo falls back to defaults only when the
+    target tree tolerates it). Wrapping the state_dict and asserting every
+    key was consumed closes that hole (VERDICT r3 item 4). `strip_prefix`
+    children propagate consumption to their parent so nested converters keep
+    the accounting exact. Membership tests (`k in sd`) do NOT consume —
+    only actual reads do.
+    """
+
+    def __init__(self, data, parent=None, key_map=None):
+        super().__init__(data)
+        self.consumed = set()
+        self._parent = parent
+        self._key_map = key_map or {}
+
+    def __getitem__(self, k):
+        self.consume(k)
+        return super().__getitem__(k)
+
+    def consume(self, k):
+        if super().__contains__(k) and k not in self.consumed:
+            self.consumed.add(k)
+            if self._parent is not None:
+                self._parent.consume(self._key_map.get(k, k))
+
+    def unconsumed(self, ignore=DEFAULT_IGNORE):
+        import fnmatch
+        return sorted(k for k in self if k not in self.consumed
+                      and not any(fnmatch.fnmatch(k, p) for p in ignore))
+
+
+def mark_consumed(sd: dict, *prefixes) -> None:
+    """Mark alias keys as consumed (a torch module registered under two
+    attribute names — e.g. RAFT's downsample Sequential sharing norm3,
+    extractor.py:44-45 — emits the SAME tensors twice in the state_dict)."""
+    if isinstance(sd, TrackedStateDict):
+        for prefix in prefixes:
+            for k in sd:
+                if k.startswith(prefix):
+                    sd.consume(k)
+
+
+def convert_checked(convert_fn, sd: dict, *args, ignore=DEFAULT_IGNORE,
+                    **kwargs):
+    """Run a converter over a tracked state_dict and fail on leftover keys."""
+    tracked = TrackedStateDict(sd)
+    params = convert_fn(tracked, *args, **kwargs)
+    left = tracked.unconsumed(ignore)
+    if left:
+        raise KeyError(
+            f"{convert_fn.__name__} left {len(left)} state_dict key(s) "
+            f"unconsumed: {left[:12]}{' ...' if len(left) > 12 else ''}")
+    return params
+
+
 def strip_prefix(sd: dict, prefix: str) -> dict:
     out = {}
+    key_map = {}
     for k, v in sd.items():
+        orig = k
         if k.startswith("module."):
             k = k[len("module."):]
         if k.startswith(prefix):
             out[k[len(prefix):]] = v
+            key_map[k[len(prefix):]] = orig
+    if isinstance(sd, TrackedStateDict):
+        return TrackedStateDict(out, parent=sd, key_map=key_map)
     return out
 
 
@@ -159,6 +229,9 @@ def convert_raft(sd: dict, dtype=jnp.float32) -> dict:
                 b["down"] = _conv(sd, k + "downsample.0", dtype)
                 if kind == "affine":
                     b["norm3"] = _fold_bn(sd, k + "downsample.1", dtype)
+                # downsample.1 IS norm3 (one module, two registrations —
+                # extractor.py:44-45); the duplicate keys are aliases
+                mark_consumed(sd, k + "norm3.")
             enc["blocks"].append(b)
         return enc
 
@@ -825,8 +898,7 @@ def convert_midas2(sd: dict, dtype=jnp.float32) -> dict:
     (midas/blocks.py _make_resnet_backbone); scratch.layerX_rn bias-free 3x3s,
     scratch.refinenetX.resConfUnit{1,2}, scratch.output_conv Sequential.
     """
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in sd.items()}
+    sd = strip_prefix(sd, "")
     stages = (3, 4, 23, 3)
     backbone = {"stem": _conv(sd, "pretrained.layer1.0", dtype),
                 "stem_bn": _fold_bn(sd, "pretrained.layer1.1", dtype),

@@ -117,3 +117,61 @@ def test_colmap_skips_existing_sparse(tmp_path, monkeypatch):
     csv_out = camera_colmap_band.run(str(folder))
     assert not arglog.exists(), "colmap must not run when sparse/ exists"
     assert os.path.exists(csv_out)
+
+
+FAKE_COLMAP_FULL = FAKE_COLMAP + """
+if len(sys.argv) > 1 and sys.argv[1] == "image_undistorter":
+    out = sys.argv[sys.argv.index("--output_path") + 1]
+    os.makedirs(os.path.join(out, "0"), exist_ok=True)
+    os.makedirs(os.path.join(out, "images"), exist_ok=True)
+"""
+
+
+def test_colmap_argv_golden(tmp_path, monkeypatch):
+    """Pin the EXACT subprocess command lists, refine+undistort included
+    (VERDICT r3 item 9): the argvs encode tuned BA tolerances and flags a
+    refactor must not silently drift before a real binary ever runs them."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    shim = bindir / "colmap"
+    shim.write_text(FAKE_COLMAP_FULL.format(python=sys.executable))
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    arglog = tmp_path / "args.log"
+    staged = tmp_path / "staged_model"
+    _stage_model(str(staged))
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setenv("COLMAP_ARGLOG", str(arglog))
+    monkeypatch.setenv("COLMAP_FAKE_MODEL", str(staged))
+
+    folder = tmp_path / "scene"
+    (folder / "images").mkdir(parents=True)
+    for name in ["00000.png", "00001.png"]:
+        (folder / "images" / name).write_bytes(b"")
+
+    camera_colmap_band.run_reconstruction(str(folder), refine=True,
+                                          undistort=True)
+
+    f = str(folder)
+    golden = [
+        f"feature_extractor --database_path {f}/colmap.db "
+        f"--image_path {f}/images --ImageReader.camera_model SIMPLE_PINHOLE "
+        f"--ImageReader.single_camera 1 --SiftExtraction.use_gpu 1 "
+        f"--SiftExtraction.first_octave 0",
+        f"sequential_matcher --database_path {f}/colmap.db "
+        f"--SiftMatching.use_gpu 1 --SiftMatching.guided_matching=true",
+        f"mapper --database_path {f}/colmap.db --image_path {f}/images "
+        f"--output_path {f}/sparse --Mapper.multiple_models 0 "
+        f"--Mapper.num_threads 16 --Mapper.init_min_tri_angle 4 "
+        f"--Mapper.extract_colors 1 --Mapper.ba_local_max_refinements 1 "
+        f"--Mapper.ba_global_max_refinements 1 "
+        f"--Mapper.ba_global_function_tolerance=0.000001",
+        f"bundle_adjuster --input_path {f}/sparse/0 "
+        f"--output_path {f}/sparse/0 "
+        f"--BundleAdjustment.refine_principal_point 1",
+        f"image_undistorter --image_path {f}/images "
+        f"--input_path {f}/sparse/0 --output_path {f}/undistorted "
+        f"--output_type COLMAP",
+        f"model_converter --input_path {f}/sparse/0 "
+        f"--output_path {f}/sparse/0 --output_type TXT",
+    ]
+    assert arglog.read_text().splitlines() == golden

@@ -11,7 +11,8 @@ torch = pytest.importorskip("torch")
 
 from prisma_tpu.models import depth_anything as da
 from prisma_tpu.models import vit as pvit
-from prisma_tpu.weights.torch_convert import convert_depth_anything
+from prisma_tpu.weights.torch_convert import (convert_checked,
+                                              convert_depth_anything)
 
 REF = "/root/reference"
 
@@ -41,7 +42,8 @@ def test_depth_anything_parity_vits(ref_model):
     with torch.no_grad():
         theirs = ref_model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
 
-    params = convert_depth_anything(ref_model.state_dict(), depth=12)
+    params = convert_checked(convert_depth_anything,
+                             ref_model.state_dict(), depth=12)
     ours = np.asarray(da.forward(params, x, encoder="vits", precision="highest"))
 
     assert ours.shape == theirs.shape
@@ -89,7 +91,8 @@ def test_infer_matches_driver_pipeline(ref_model):
     theirs = F.interpolate(d[None], (90, 160), mode="bilinear",
                            align_corners=False)[0, 0].numpy()
 
-    params = convert_depth_anything(ref_model.state_dict(), depth=12)
+    params = convert_checked(convert_depth_anything,
+                             ref_model.state_dict(), depth=12)
     ours = np.asarray(da.infer(params, frame[None], encoder="vits",
                                precision="highest"))[0]
     scale = max(np.abs(theirs).max(), 1e-6)

@@ -8,7 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from prisma_tpu.models import gmflow as jgm
-from prisma_tpu.weights.torch_convert import convert_gmflow
+from prisma_tpu.weights.torch_convert import convert_checked, convert_gmflow
 
 REF_BANDS = "/root/reference/bands"
 
@@ -46,7 +46,7 @@ def test_gmflow_forward_parity(ref_gmflow, bidir):
     img1 = np.clip(img0 + rng.normal(0, 10, size=img0.shape), 0, 255).astype(np.float32)
 
     theirs = _ref_forward(ref_gmflow, img0, img1, bidir)
-    params = convert_gmflow(ref_gmflow.state_dict())
+    params = convert_checked(convert_gmflow, ref_gmflow.state_dict())
     ours = np.asarray(jgm.forward(params, img0, img1, pred_bidir=bidir,
                                   precision="highest"))
     assert ours.shape == theirs.shape
@@ -168,7 +168,7 @@ def test_gmflow_refine_forward_parity(ref_gmflow_refine, bidir):
                                 pred_bidir_flow=bidir)
     theirs = out["flow_preds"][-1].permute(0, 2, 3, 1).numpy()
 
-    params = convert_gmflow(ref_gmflow_refine.state_dict())
+    params = convert_checked(convert_gmflow, ref_gmflow_refine.state_dict())
     cfg = jgm.refine_config(matching="dense")
     ours = np.asarray(jgm.forward(params, img0, img1, cfg, pred_bidir=bidir,
                                   precision="highest"))

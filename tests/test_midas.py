@@ -171,7 +171,8 @@ def _build_torch_midas2():
 @pytest.mark.slow
 def test_midas2_parity_with_torch_replica():
     torch = pytest.importorskip("torch")
-    from prisma_tpu.weights.torch_convert import convert_midas2
+    from prisma_tpu.weights.torch_convert import (convert_checked,
+                                                  convert_midas2)
 
     torch.manual_seed(0)
     model = _build_torch_midas2()
@@ -186,7 +187,7 @@ def test_midas2_parity_with_torch_replica():
     with torch.no_grad():
         theirs = model(torch.from_numpy(x)).numpy()
 
-    params = convert_midas2(model.state_dict())
+    params = convert_checked(convert_midas2, model.state_dict())
     ours = np.asarray(jmidas.midas2_forward(
         params, x.transpose(0, 2, 3, 1), precision="highest"))
     np.testing.assert_allclose(ours, theirs, atol=2e-3)

@@ -10,7 +10,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from prisma_tpu.models import raft as jraft
-from prisma_tpu.weights.torch_convert import convert_raft
+from prisma_tpu.weights.torch_convert import convert_checked, convert_raft
 
 REF_BANDS = "/root/reference/bands"
 
@@ -49,7 +49,7 @@ def test_raft_forward_parity(ref_raft):
     with torch.no_grad():
         flow_low_t, flow_up_t = ref_raft(t1, t2, iters=6, test_mode=True)
 
-    params = convert_raft(ref_raft.state_dict())
+    params = convert_checked(convert_raft, ref_raft.state_dict())
     flow_low, flow_up = jraft.forward(params, img1, img2, iters=6,
                                       precision="highest")
 

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from prisma_tpu.models import dpt as pdpt
 from prisma_tpu.models import vit as pvit
 from prisma_tpu.models import zoedepth as jzoe
-from prisma_tpu.weights.torch_convert import convert_metric_depth_anything
+from prisma_tpu.weights.torch_convert import (convert_checked,
+                                              convert_metric_depth_anything)
 
 REF = "/root/reference"
 
@@ -81,7 +82,8 @@ def test_metric_depth_anything_parity(ref_zoedepth):
         out = ref_zoedepth(x)
     theirs = out["metric_depth"][0, 0].numpy()  # at out_conv resolution
 
-    params = convert_metric_depth_anything(ref_zoedepth.state_dict(), depth=12)
+    params = convert_checked(convert_metric_depth_anything,
+                             ref_zoedepth.state_dict(), depth=12)
     cfg = jzoe.ZoeDepthConfig(n_bins=16)
 
     # replicate the pipeline up to the bins-head output (before resize-back)
