@@ -124,6 +124,45 @@ def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
     return pyramid
 
 
+def build_corr_pyramid_padded(fmap1, fmap2, num_levels: int, precision=None):
+    """build_corr_pyramid with each level's rows padded to a multiple of 8,
+    for the gather-kernel lookup (ops/pallas/raft_window.py requires clean
+    [BLK, Hp, W] -> [BLK*Hp, W] tile merges). The pad happens on the POOLED
+    FMAP (zero feature rows -> exact zero corr rows) so it costs a few extra
+    einsum rows instead of an HBM re-pad of the [HW, HW] volume. Returns
+    [(vol [N, Hp, Wl], (Hl, Wl)), ...]."""
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C)
+    scale = 1.0 / math.sqrt(C)
+    pyramid = []
+    for f2 in build_fmap_pyramid(fmap2, num_levels):
+        h2, w2 = f2.shape[1], f2.shape[2]
+        hp = max(16, -(-h2 // 8) * 8)
+        wp = max(16, w2)
+        if (hp, wp) != (h2, w2):
+            f2 = jnp.pad(f2, ((0, 0), (0, hp - h2), (0, wp - w2), (0, 0)))
+        corr = jnp.einsum("bxc,byc->bxy", f1, f2.reshape(B, hp * wp, C),
+                          precision=precision) * scale
+        pyramid.append((corr.reshape(B * H * W, hp, wp), (h2, w2)))
+    return pyramid
+
+
+def corr_lookup_gk(pyramid, coords, radius: int):
+    """corr_lookup via the Pallas gather kernel (ops/pallas/raft_window.py).
+
+    pyramid: [(vol [N, Hp, Wl], (Hl, Wl)), ...] from
+    build_corr_pyramid_padded. Same output contract as corr_lookup."""
+    from prisma_tpu.ops.pallas.raft_window import window_lookup_gather
+    B, H1, W1, _ = coords.shape
+    cx = coords[..., 0].reshape(B * H1 * W1)
+    cy = coords[..., 1].reshape(B * H1 * W1)
+    interp = jax.default_backend() == "cpu"
+    out = [window_lookup_gather(vol, cx / (2 ** i), cy / (2 ** i), hw,
+                                r=radius, interpret=interp)
+           for i, (vol, hw) in enumerate(pyramid)]
+    return jnp.concatenate(out, axis=-1).reshape(B, H1, W1, -1)
+
+
 def _bilinear_gather(vol, x, y):
     """vol [N, H, W] or pre-flattened ([N*H*W], (N, H, W)); x/y [N, K] pixel
     coords -> [N, K], zero outside.
@@ -742,6 +781,9 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
         pyramid = [(jnp.pad(v, ((0, 0), (p, p), (p, p))), v.shape[1:])
                    for v in build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                                precision)]
+    elif corr_impl == "volume_gk":
+        pyramid = build_corr_pyramid_padded(fmap1, fmap2, cfg.corr_levels,
+                                            precision)
     else:
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels, precision)
         if corr_impl == "volume_onehot_packed":
@@ -774,6 +816,8 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                                      cfg.corr_radius, precision)
         elif corr_impl == "volume_pallas":
             corr = corr_lookup_pallas(pyramid, coords1, cfg.corr_radius)
+        elif corr_impl == "volume_gk":
+            corr = corr_lookup_gk(pyramid, coords1, cfg.corr_radius)
         else:
             corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
                                onehot={"volume_onehot": True,

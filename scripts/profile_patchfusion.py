@@ -26,7 +26,9 @@ from prisma_tpu.models import patchfusion as pf
 
 
 def main():
-    params = pf.init_params(jax.random.key(6))
+    from prisma_tpu.weights.store import cast_params
+    params = pf.init_params(jax.random.key(6), beit_depth=24)
+    params = jax.device_put(cast_params(params, jnp.bfloat16))
     rng = np.random.default_rng(0)
     img = rng.random((1080, 1920, 3), np.float32)
 
