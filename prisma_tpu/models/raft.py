@@ -125,25 +125,27 @@ def build_corr_pyramid(fmap1, fmap2, num_levels: int, precision=None):
 
 
 def build_corr_pyramid_padded(fmap1, fmap2, num_levels: int, precision=None):
-    """build_corr_pyramid with each level's rows padded to a multiple of 8,
-    for the gather-kernel lookup (ops/pallas/raft_window.py requires clean
-    [BLK, Hp, W] -> [BLK*Hp, W] tile merges). The pad happens on the POOLED
-    FMAP (zero feature rows -> exact zero corr rows) so it costs a few extra
-    einsum rows instead of an HBM re-pad of the [HW, HW] volume. Returns
-    [(vol [N, Hp, Wl], (Hl, Wl)), ...]."""
+    """build_corr_pyramid in the gather-kernel's TRANSPOSED layout: each
+    level is [N, Wp, Hp] (W on the sublane axis, H on lanes so the hot
+    y-select is a single-lane-tile gather; ops/pallas/raft_window.py). The
+    transposition and the Wp/Hp pads happen on the POOLED FMAP — a W-major
+    flatten plus zero feature rows/cols (-> exact zero corr entries) — so
+    they cost a few extra einsum rows instead of an HBM re-layout of the
+    [HW, HW] volume. Returns [(vol [N, Wp, Hp], (Hl, Wl)), ...]."""
     B, H, W, C = fmap1.shape
     f1 = fmap1.reshape(B, H * W, C)
     scale = 1.0 / math.sqrt(C)
     pyramid = []
     for f2 in build_fmap_pyramid(fmap2, num_levels):
         h2, w2 = f2.shape[1], f2.shape[2]
-        hp = max(16, -(-h2 // 8) * 8)
-        wp = max(16, w2)
+        hp = max(16, h2)
+        wp = max(16, -(-w2 // 8) * 8)
         if (hp, wp) != (h2, w2):
             f2 = jnp.pad(f2, ((0, 0), (0, hp - h2), (0, wp - w2), (0, 0)))
-        corr = jnp.einsum("bxc,byc->bxy", f1, f2.reshape(B, hp * wp, C),
+        f2t = f2.transpose(0, 2, 1, 3).reshape(B, wp * hp, C)  # W-major
+        corr = jnp.einsum("bxc,byc->bxy", f1, f2t,
                           precision=precision) * scale
-        pyramid.append((corr.reshape(B * H * W, hp, wp), (h2, w2)))
+        pyramid.append((corr.reshape(B * H * W, wp, hp), (h2, w2)))
     return pyramid
 
 

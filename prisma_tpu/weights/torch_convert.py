@@ -24,9 +24,15 @@ def _np(t) -> np.ndarray:
 
 
 # torch buffers that carry no inference-time information: BN step counters,
-# and index/mask buffers the models recompute from geometry (BEiT/Swin).
+# index/mask buffers the models recompute from geometry (BEiT/Swin), and
+# DINOv2's mask_token (only read under masked-image-modeling `masks`,
+# vision_transformer.py:216 — inference always passes masks=None).
 DEFAULT_IGNORE = ("*num_batches_tracked", "*relative_position_index",
-                  "*attn_mask")
+                  "*attn_mask", "*mask_token",
+                  # LogBinomial's arange/K-1 buffers are pure functions of
+                  # n_classes (dist_layers.py:46-48)
+                  "*log_binomial_transform.k_idx",
+                  "*log_binomial_transform.K_minus_1")
 
 
 class TrackedStateDict(dict):

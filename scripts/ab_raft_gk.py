@@ -66,10 +66,14 @@ def main():
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (Bb, H8, W8, 2))
 
     def scan_of(lookup_fn):
+        # volumes go in as jit ARGUMENTS (pytree of arrays); any static dims
+        # are rebuilt inside lookup_fn from `dims` (plain ints via closure) —
+        # tuples of ints in the arg pytree would become tracers, and arrays
+        # in a closure would become giant jaxpr constants
         @jax.jit
-        def run(pyramid, c0):
+        def run(vols, c0):
             def step(coords, _):
-                corr = lookup_fn(pyramid, coords)
+                corr = lookup_fn(vols, coords)
                 drift = jnp.mean(corr.astype(jnp.float32), -1, keepdims=True)
                 return coords + jnp.concatenate([drift, -drift], -1) * 1e-3, \
                     None
@@ -83,8 +87,8 @@ def main():
     print(f"20x corr_lookup(onehot): {t*1e3:.0f} ms "
           f"({t/cfg.iters*1e3:.1f} ms/iter)")
     try:
-        t = timeit(scan_of(lambda p, c: jraft.corr_lookup_gk(
-            p, c, cfg.corr_radius)), pyr_pad, coords0)
+        t = timeit(scan_of(lambda vols, c: jraft.corr_lookup_gk(
+            list(zip(vols, dims)), c, cfg.corr_radius)), pad_vols, coords0)
         print(f"20x corr_lookup(gather-kernel): {t*1e3:.0f} ms "
               f"({t/cfg.iters*1e3:.1f} ms/iter)")
     except Exception as e:  # noqa: BLE001

@@ -47,12 +47,13 @@ def test_window_lookup_gather_matches_onehot():
     from prisma_tpu.models.raft import _window_onehot_lookup
     from prisma_tpu.ops.pallas.raft_window import window_lookup_gather
     rng = np.random.default_rng(3)
-    for (H, W) in [(13, 23), (51, 90), (17, 129)]:
-        Hp = -(-H // 8) * 8
+    for (H, W) in [(13, 23), (51, 90), (17, 129), (102, 180)]:
+        Hp = max(16, H)
+        Wp = max(16, -(-W // 8) * 8)
         N = 70
         vol = rng.normal(size=(N, H, W)).astype(np.float32)
-        volp = np.zeros((N, Hp, W), np.float32)
-        volp[:, :H] = vol
+        volp = np.zeros((N, Wp, Hp), np.float32)
+        volp[:, :W, :H] = vol.transpose(0, 2, 1)
         cx = rng.uniform(-8, W + 8, N).astype(np.float32)
         cy = rng.uniform(-8, H + 8, N).astype(np.float32)
         a = _window_onehot_lookup(jnp.asarray(vol), jnp.asarray(cx),
