@@ -33,7 +33,7 @@ from prisma_tpu.models import midas as jmidas
 from prisma_tpu.models import zoedepth as jzoe
 from prisma_tpu.ops import nn as pnn
 from prisma_tpu.ops.resize import resize2d
-from prisma_tpu.ops.roi_align import roi_align
+from prisma_tpu.ops.roi_align import roi_align_mm
 
 MODEL_HW = (384, 512)          # ZoeDepthCustom input (config img_size)
 N_MIDAS_OUT = 32
@@ -215,12 +215,11 @@ def unet_v1(p, input_tensor, guide_cat, coarse_feat_whole, crop_area_resize,
                                  (N,) + coarse_feat_whole[level].shape[1:])
         g = g2l_fusion(p["g2l"][level], whole, crop_area_resize[level], heads,
                        depth, precision=precision)
-        return roi_align(g, bbox, jnp.arange(N, dtype=jnp.int32), out_hw,
-                         spatial_scale=out_hw[0] / model_hw[0],
-                         sampling_ratio=max(1, int(round(model_hw[0]
-                                                         / out_hw[0]))),
-                         roi_chunk=4 if out_hw[0] >= 96 else None
-                         ).astype(g.dtype)  # roi_align interpolates in f32
+        return roi_align_mm(g, bbox, jnp.arange(N, dtype=jnp.int32), out_hw,
+                            spatial_scale=out_hw[0] / model_hw[0],
+                            sampling_ratio=max(1, int(round(model_hw[0]
+                                                            / out_hw[0]))),
+                            precision=precision).astype(g.dtype)
 
     lv = level_hw(model_hw)
     # level ordering in the param lists: index 0 -> g2l5 spec (12x16) ... 5 -> g2l0
@@ -371,18 +370,20 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     # roi_align interpolates in f32; cast back so the bf16 fusion convs and
     # UNet below don't see mixed dtypes
     coarse_roi = [
-        roi_align(coarse_feats[i], bbox_roi, zeros_idx, lv[i],
-                  spatial_scale=lv[i][0] / model_hw[0],
-                  sampling_ratio=max(1, int(round(model_hw[0] / lv[i][0]))))
+        roi_align_mm(coarse_feats[i], bbox_roi, zeros_idx, lv[i],
+                     spatial_scale=lv[i][0] / model_hw[0],
+                     sampling_ratio=max(1, int(round(model_hw[0]
+                                                     / lv[i][0]))),
+                     precision=precision)
         .astype(coarse_feats[i].dtype)
         for i in range(6)
     ]
     bbox_hack = bbox_roi * jnp.asarray([hw_ / model_hw[1], hh / model_hw[0],
                                         hw_ / model_hw[1], hh / model_hw[0]])
-    whole_depth_roi = roi_align(coarse_depth_hr, bbox_hack, zeros_idx,
-                                model_hw, spatial_scale=1.0,
-                                sampling_ratio=5,
-                                roi_chunk=2).astype(crops.dtype)
+    whole_depth_roi = roi_align_mm(coarse_depth_hr, bbox_hack, zeros_idx,
+                                   model_hw, spatial_scale=1.0,
+                                   sampling_ratio=5,
+                                   precision=precision).astype(crops.dtype)
 
     guide_cat = [
         pnn.conv2d(params["fusion_conv"][i],

@@ -66,9 +66,21 @@ def _instance_norm(x, eps=1e-5):
             * scale[:, None, None].astype(x.dtype))
 
 
+def _instance_norm_fused(x, relu: bool = False):
+    """Instance norm via the fused Pallas kernel on TPU (3 HBM passes incl.
+    the ReLU; the XLA form measures ~9x its roofline at the encoder's
+    full-res shapes — scripts/profile_raft_backbone.py). CPU keeps the XLA
+    form (exact parity oracle; pallas interpret would be slower)."""
+    if jax.default_backend() == "cpu":
+        y = _instance_norm(x)
+        return _relu(y) if relu else y
+    from prisma_tpu.ops.pallas.instance_norm import instance_norm_relu
+    return instance_norm_relu(x, relu=relu)
+
+
 def _apply_norm(p, x, kind: str):
     if kind == "instance":
-        return _instance_norm(x)
+        return _instance_norm_fused(x)
     if kind == "affine":  # folded eval-mode BatchNorm
         return x * p["scale"] + p["bias"]
     if kind == "none":
@@ -76,11 +88,18 @@ def _apply_norm(p, x, kind: str):
     raise ValueError(kind)
 
 
+def _norm_relu(p, x, kind: str):
+    """relu(norm(x)) with the relu fused into the instance-norm kernel."""
+    if kind == "instance":
+        return _instance_norm_fused(x, relu=True)
+    return _relu(_apply_norm(p, x, kind))
+
+
 def _resblock(p, x, kind: str, stride: int, precision=None):
-    y = _relu(_apply_norm(p.get("norm1"), pnn.conv2d(p["conv1"], x,
-                    stride=stride, padding=1, precision=precision), kind))
-    y = _relu(_apply_norm(p.get("norm2"), pnn.conv2d(p["conv2"], y,
-                    padding=1, precision=precision), kind))
+    y = _norm_relu(p.get("norm1"), pnn.conv2d(p["conv1"], x,
+                   stride=stride, padding=1, precision=precision), kind)
+    y = _norm_relu(p.get("norm2"), pnn.conv2d(p["conv2"], y,
+                   padding=1, precision=precision), kind)
     if stride != 1:
         x = _apply_norm(p.get("norm3"), pnn.conv2d(p["down"], x, stride=stride,
                         precision=precision), kind)
@@ -90,7 +109,7 @@ def _resblock(p, x, kind: str, stride: int, precision=None):
 def encoder_forward(p, x, kind: str, precision=None):
     """BasicEncoder: x [B, H, W, 3] in [-1, 1] -> [B, H/8, W/8, out]."""
     x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
-    x = _relu(_apply_norm(p.get("norm1"), x, kind))
+    x = _norm_relu(p.get("norm1"), x, kind)
     for i, stride in enumerate([1, 1, 2, 1, 2, 1]):
         x = _resblock(p["blocks"][i], x, kind, stride, precision)
     return pnn.conv2d(p["conv2"], x, precision=precision)

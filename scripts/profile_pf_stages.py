@@ -20,7 +20,7 @@ from jax import lax
 
 from prisma_tpu.models import patchfusion as pf
 from prisma_tpu.models import zoedepth as jzoe
-from prisma_tpu.ops.roi_align import roi_align
+from prisma_tpu.ops.roi_align import roi_align, roi_align_mm
 from prisma_tpu.ops.resize import resize2d
 from prisma_tpu.weights.store import cast_params
 
@@ -29,33 +29,28 @@ DT = jnp.bfloat16
 
 
 def scan_time(fn, consume, *args, iters=8):
-    """Time fn(*args) repeated in ONE jitted scan; returns s/call."""
-    @jax.jit
-    def run(args):
-        def body(c, _):
-            out = fn(*args)
-            s = consume(out).astype(jnp.float32)
-            return c + s * 0, s
-        _, ys = lax.scan(body, jnp.float32(0), None, length=iters)
-        return ys[-1]
-    out = run(args)
-    float(out)
-    t0 = time.perf_counter()
-    float(run(args))
-    t1 = time.perf_counter() - t0
-    @jax.jit
-    def run2(args):
-        def body(c, _):
-            out = fn(*args)
-            s = consume(out).astype(jnp.float32)
-            return c + s * 0, s
-        _, ys = lax.scan(body, jnp.float32(0), None, length=2 * iters)
-        return ys[-1]
-    out = run2(args)
-    float(out)
-    t0 = time.perf_counter()
-    float(run2(args))
-    t2 = time.perf_counter() - t0
+    """Time fn(*args) repeated in ONE jitted scan; returns s/call.
+
+    All args go through the jit boundary (closures over big pytrees get
+    baked into the HLO as literals and blow the remote compiler's request
+    limit), and a REAL dependency chain carry -> last arg -> output ->
+    carry defeats loop-invariant hoisting (the 444e160 lesson); the
+    1e-30-scaled carry is below bf16/f32 addition resolution."""
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(c, _):
+                xs = list(args)
+                xs[-1] = xs[-1] + (c * 1e-30).astype(xs[-1].dtype)
+                out = fn(*xs)
+                return consume(out).astype(jnp.float32), ()
+            c, _ = lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        return run
+    r1, r2 = make(iters), make(2 * iters)
+    float(r1(args)); float(r2(args))
+    t0 = time.perf_counter(); float(r1(args)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(r2(args)); t2 = time.perf_counter() - t0
     return (t2 - t1) / iters
 
 
@@ -80,9 +75,9 @@ def main():
     mean = jnp.asarray((0.485, 0.456, 0.406), DT)
     std = jnp.asarray((0.229, 0.224, 0.225), DT)
 
-    t = scan_time(lambda img: pf.zoedepth_custom_forward(
-        params["coarse"], (img - mean) / std, pf.PF_CONFIG, None)[0],
-        lambda d: jnp.sum(d), img_lr)
+    t = scan_time(lambda p, img: pf.zoedepth_custom_forward(
+        p["coarse"], (img - mean) / std, pf.PF_CONFIG, None)[0],
+        lambda d: jnp.sum(d), params, img_lr)
     print(f"coarse zoedepth_custom (B=1): {t*1e3:.0f} ms")
 
     coarse_feats, coarse_depth_hr = jax.jit(pf.coarse_pass)(params, img_lr)
@@ -97,29 +92,52 @@ def main():
     print(f"coarse HR depth resize -> {hh}x{hw_}: {t*1e3:.0f} ms")
 
     # tile sub-stages ---------------------------------------------------------
-    t = scan_time(lambda c: pf.zoedepth_custom_forward(
-        params["fine"], (c - mean) / std, pf.PF_CONFIG, None)[0],
-        lambda d: jnp.sum(d), crops)
+    t = scan_time(lambda p, c: pf.zoedepth_custom_forward(
+        p["fine"], (c - mean) / std, pf.PF_CONFIG, None)[0],
+        lambda d: jnp.sum(d), params, crops)
     print(f"fine zoedepth_custom (B=8): {t*1e3:.0f} ms")
 
-    def roi6(bbox):
-        outs = [roi_align(coarse_feats[i], bbox, zeros_idx, lv[i],
+    def roi6(bbox, cf=None):
+        coarse_feats_l = cf if cf is not None else coarse_feats
+        outs = [roi_align(coarse_feats_l[i], bbox, zeros_idx, lv[i],
                           spatial_scale=lv[i][0] / MODEL_HW[0],
                           sampling_ratio=max(1, int(round(
                               MODEL_HW[0] / lv[i][0]))))
                 for i in range(6)]
         return outs
-    t = scan_time(roi6, lambda o: sum(jnp.sum(x.astype(jnp.float32))
-                                      for x in o), bbox)
-    print(f"coarse_roi x6 roi_align (B=8): {t*1e3:.0f} ms")
+    t = scan_time(lambda cf, b: roi6(b, cf),
+                  lambda o: sum(jnp.sum(x.astype(jnp.float32)) for x in o),
+                  coarse_feats, bbox)
+    print(f"coarse_roi x6 roi_align gather (B=8): {t*1e3:.0f} ms")
 
-    def wroi(bbox):
+    def roi6_mm(cf, bbox):
+        return [roi_align_mm(cf[i], bbox, zeros_idx, lv[i],
+                             spatial_scale=lv[i][0] / MODEL_HW[0],
+                             sampling_ratio=max(1, int(round(
+                                 MODEL_HW[0] / lv[i][0]))))
+                for i in range(6)]
+    t = scan_time(roi6_mm,
+                  lambda o: sum(jnp.sum(x.astype(jnp.float32)) for x in o),
+                  coarse_feats, bbox)
+    print(f"coarse_roi x6 roi_align MATMUL (B=8): {t*1e3:.1f} ms")
+
+    def wroi(bbox, chr_=None):
+        if chr_ is None:
+            chr_ = coarse_depth_hr
         bbox_hack = bbox * jnp.asarray([hw_ / MODEL_HW[1], hh / MODEL_HW[0],
                                         hw_ / MODEL_HW[1], hh / MODEL_HW[0]])
-        return roi_align(coarse_depth_hr, bbox_hack, zeros_idx, MODEL_HW,
+        return roi_align(chr_, bbox_hack, zeros_idx, MODEL_HW,
                          spatial_scale=1.0, sampling_ratio=5, roi_chunk=2)
-    t = scan_time(wroi, lambda o: jnp.sum(o), bbox)
-    print(f"whole_depth_roi roi_align (B=8): {t*1e3:.0f} ms")
+    t = scan_time(lambda c, b: wroi(b, c), lambda o: jnp.sum(o),
+                  coarse_depth_hr, bbox)
+    print(f"whole_depth_roi roi_align gather (B=8): {t*1e3:.0f} ms")
+    t = scan_time(lambda c, b: roi_align_mm(
+                      c, b * jnp.asarray([hw_ / MODEL_HW[1], hh / MODEL_HW[0],
+                                          hw_ / MODEL_HW[1], hh / MODEL_HW[0]]),
+                      zeros_idx, MODEL_HW, spatial_scale=1.0,
+                      sampling_ratio=5),
+                  lambda o: jnp.sum(o), coarse_depth_hr, bbox)
+    print(f"whole_depth_roi roi_align MATMUL (B=8): {t*1e3:.1f} ms")
 
     # unet + bins: run the full tile pass minus the parts above by timing the
     # whole thing and subtracting is noisy; instead time unet_v1 directly
@@ -146,11 +164,11 @@ def main():
     crop_area_resize = [resize2d(areas, hw2, method="linear",
                                  align_corners=True).astype(DT) for hw2 in lv]
 
-    t = scan_time(lambda it: pf.unet_v1(params["unet"], it, guide_cat,
-                                        coarse_feats, crop_area_resize, bbox,
-                                        zeros_idx, MODEL_HW, None),
+    t = scan_time(lambda p, gc, cf, it: pf.unet_v1(
+                      p["unet"], it, gc, cf, crop_area_resize, bbox,
+                      zeros_idx, MODEL_HW, None),
                   lambda o: sum(jnp.sum(x.astype(jnp.float32)) for x in o),
-                  input_tensor)
+                  params, guide_cat, coarse_feats, input_tensor)
     print(f"unet_v1 incl. g2l+rois (B=8): {t*1e3:.0f} ms")
 
     # g2l fusion + its roi per level, isolated
@@ -158,23 +176,22 @@ def main():
         heads, depth = pf.G2L_SPECS[level]
         out_hw = lv[level]
 
-        def g2l_only(area, level=level, heads=heads, depth=depth):
-            whole = jnp.broadcast_to(
-                coarse_feats[level], (N,) + coarse_feats[level].shape[1:])
-            return pf.g2l_fusion(params["unet"]["g2l"][level], whole, area,
+        def g2l_only(p, cf, area, level=level, heads=heads, depth=depth):
+            whole = jnp.broadcast_to(cf[level], (N,) + cf[level].shape[1:])
+            return pf.g2l_fusion(p["unet"]["g2l"][level], whole, area,
                                  heads, depth)
         t = scan_time(g2l_only, lambda o: jnp.sum(o.astype(jnp.float32)),
-                      crop_area_resize[level])
-        g = jax.jit(g2l_only)(crop_area_resize[level])
+                      params, coarse_feats, crop_area_resize[level])
+        g = jax.jit(g2l_only)(params, coarse_feats, crop_area_resize[level])
 
-        def roi_only(bbox, g=g, out_hw=out_hw):
+        def roi_only(g, bbox, out_hw=out_hw):
             return roi_align(g, bbox, jnp.arange(N, dtype=jnp.int32), out_hw,
                              spatial_scale=out_hw[0] / MODEL_HW[0],
                              sampling_ratio=max(1, int(round(
                                  MODEL_HW[0] / out_hw[0]))),
                              roi_chunk=4 if out_hw[0] >= 96 else None)
         t2 = scan_time(roi_only, lambda o: jnp.sum(o.astype(jnp.float32)),
-                       bbox)
+                       g, bbox)
         print(f"  g2l level {level} {out_hw}: fusion {t*1e3:.1f} ms, "
               f"roi {t2*1e3:.1f} ms")
 

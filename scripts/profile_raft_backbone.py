@@ -24,12 +24,17 @@ from prisma_tpu.weights.store import cast_params
 
 
 def scan_time(fn, consume, *args, iters=10):
+    """Thread a REAL dependency chain carry -> input -> output -> carry
+    (a '* 0' perturbation is provably constant and XLA hoists the whole
+    body out of the scan — the 444e160 lesson). The 1e-30-scaled carry is
+    below bf16/f32 addition resolution, so values are unperturbed."""
     def make(n):
         @jax.jit
         def run(args):
             def body(c, _):
-                out = fn(*args)
-                return c + consume(out).astype(jnp.float32) * 0, ()
+                x0 = args[0] + (c * 1e-30).astype(args[0].dtype)
+                out = fn(x0, *args[1:])
+                return consume(out).astype(jnp.float32), ()
             c, _ = lax.scan(body, jnp.float32(0), None, length=n)
             return c
         return run
@@ -89,9 +94,11 @@ def main():
     fm = jax.jit(lambda x: jraft.encoder_forward(params["fnet"], x,
                                                  "instance"))(x4)
     f1, f2 = fm[:B], fm[B:]
+    # full-sum consume (a subsampled consume lets XLA narrow the einsum);
+    # the sum itself re-reads the ~4.9 GB pyramid, ~6 ms of the number below
     t = scan_time(lambda a, b: jraft.build_corr_pyramid(a, b, 4),
-                  lambda pyr: sum(jnp.sum(v[::913]) for v in pyr), f1, f2)
-    print(f"corr pyramid build: {t*1e3:.1f} ms")
+                  lambda pyr: sum(jnp.sum(v) for v in pyr), f1, f2)
+    print(f"corr pyramid build (+~6ms consume): {t*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
