@@ -118,14 +118,25 @@ def _instance_norm(x, eps=1e-5):
     return y.reshape(B, H, W, C)
 
 
+def _inorm_relu(x, relu: bool = True):
+    """relu(instance_norm(x)) via the fused Pallas kernel on TPU (3 HBM
+    passes; the XLA form is ~9x its roofline at full-res backbone shapes —
+    see ops/pallas/instance_norm.py). CPU keeps the XLA parity form."""
+    if jax.default_backend() == "cpu":
+        y = _instance_norm(x)
+        return jax.nn.relu(y) if relu else y
+    from prisma_tpu.ops.pallas.instance_norm import instance_norm_relu
+    return instance_norm_relu(x, relu=relu)
+
+
 def _resblock(p, x, stride, precision=None):
-    y = jax.nn.relu(_instance_norm(pnn.conv2d(p["conv1"], x, stride=stride,
-                                              padding=1, precision=precision)))
-    y = jax.nn.relu(_instance_norm(pnn.conv2d(p["conv2"], y, padding=1,
-                                              precision=precision)))
+    y = _inorm_relu(pnn.conv2d(p["conv1"], x, stride=stride, padding=1,
+                               precision=precision))
+    y = _inorm_relu(pnn.conv2d(p["conv2"], y, padding=1,
+                               precision=precision))
     if "down" in p:
-        x = _instance_norm(pnn.conv2d(p["down"], x, stride=stride,
-                                      precision=precision))
+        x = _inorm_relu(pnn.conv2d(p["down"], x, stride=stride,
+                                   precision=precision), relu=False)
     return jax.nn.relu(x + y)
 
 
@@ -233,7 +244,7 @@ def backbone_forward(p, x, precision=None, impl: str = "auto",
     if impl == "auto":
         impl = "plain"
     x = pnn.conv2d(p["conv1"], x, stride=2, padding=3, precision=precision)
-    x = jax.nn.relu(_instance_norm(x))
+    x = _inorm_relu(x)
     if num_scales > 1:
         assert num_scales == 2 and impl != "s2d"
         for i, stride in enumerate([1, 1, 2, 1, 1, 1]):  # layer3 stride 1

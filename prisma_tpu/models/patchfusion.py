@@ -33,7 +33,7 @@ from prisma_tpu.models import midas as jmidas
 from prisma_tpu.models import zoedepth as jzoe
 from prisma_tpu.ops import nn as pnn
 from prisma_tpu.ops.resize import resize2d
-from prisma_tpu.ops.roi_align import roi_align_mm
+from prisma_tpu.ops.roi_align import roi_align_mm, roi_align_mm_resized
 
 MODEL_HW = (384, 512)          # ZoeDepthCustom input (config img_size)
 N_MIDAS_OUT = 32
@@ -331,12 +331,11 @@ def coarse_pass(params, img_lr, cfg: jzoe.ZoeDepthConfig = PF_CONFIG,
         params["coarse"], (img_lr - mean) / std, cfg, precision)
     coarse_feats = _proj6(params["coarse_input_proj"], coarse_hooks,
                           precision)
-    # reference upsamples coarse depth to (2160, 3840) before the roi
-    # (patchfusion.py:384-433); roi_align on the model-res map with the
-    # equivalent scale is identical up to that fixed bilinear resample
-    coarse_depth_hr = resize2d(coarse_depth[..., None], hr_hw(model_hw),
-                               method="linear", align_corners=True)
-    return coarse_feats, coarse_depth_hr
+    # the reference upsamples coarse depth to (2160, 3840) before the roi
+    # (patchfusion.py:384-433); that resize is bilinear (linear), so it is
+    # FOLDED into the roi weight matrices (roi_align_mm_resized) instead of
+    # materializing the 132 MB HR map — exact to f32 summation order
+    return coarse_feats, coarse_depth[..., None]
 
 
 def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
@@ -357,7 +356,7 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
 
     if coarse_cache is None:
         coarse_cache = coarse_pass(params, img_lr, cfg, model_hw, precision)
-    coarse_feats, coarse_depth_hr = coarse_cache
+    coarse_feats, coarse_depth_lr = coarse_cache
 
     N = crops.shape[0]
     fine_depth, fine_hooks = zoedepth_custom_forward(
@@ -380,10 +379,10 @@ def patchfusion_tiles(params, crops, img_lr, bbox_roi, crop_areas,
     ]
     bbox_hack = bbox_roi * jnp.asarray([hw_ / model_hw[1], hh / model_hw[0],
                                         hw_ / model_hw[1], hh / model_hw[0]])
-    whole_depth_roi = roi_align_mm(coarse_depth_hr, bbox_hack, zeros_idx,
-                                   model_hw, spatial_scale=1.0,
-                                   sampling_ratio=5,
-                                   precision=precision).astype(crops.dtype)
+    whole_depth_roi = roi_align_mm_resized(
+        coarse_depth_lr, bbox_hack, zeros_idx, model_hw, (hh, hw_),
+        spatial_scale=1.0, sampling_ratio=5,
+        precision=precision).astype(crops.dtype)
 
     guide_cat = [
         pnn.conv2d(params["fusion_conv"][i],

@@ -160,3 +160,47 @@ def roi_align_mm(features: jnp.ndarray, boxes: jnp.ndarray, box_indices,
         feats = features[jnp.asarray(box_indices, jnp.int32)]
         rows = jnp.einsum("nph,nhwc->npwc", wy, feats, precision=precision)
     return jnp.einsum("npwc,nqw->npqc", rows, wx, precision=precision)
+
+
+def roi_align_mm_resized(features: jnp.ndarray, boxes: jnp.ndarray,
+                         box_indices, output_size: tuple[int, int],
+                         src_hw: tuple[int, int], spatial_scale: float = 1.0,
+                         sampling_ratio: int = 2, aligned: bool = True,
+                         precision=None) -> jnp.ndarray:
+    """roi_align over a bilinear align_corners-resized view of `features`
+    (resized to src_hw) WITHOUT materializing the resized map: resize and
+    averaged-bilinear ROI sampling are both linear along each axis, so the
+    resize matrices fold into the per-ROI weight matrices,
+    (Wy @ Rh) @ feat @ (Wx @ Rw)^T. Exactly PatchFusion's
+    resize-coarse-depth-to-HR-then-roi quirk (patchfusion.py:384-433) at a
+    tiny fraction of the HBM cost (the HR map alone is 132 MB f32 at
+    2160x3840). boxes are in src_hw coordinates."""
+    from prisma_tpu.ops.resize import _resize_weights
+    ph, pw = output_size
+    sr = max(int(sampling_ratio), 1)
+    offset = 0.5 if aligned else 0.0
+    b = boxes.astype(jnp.float32) * spatial_scale - offset
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w, roi_h = x2 - x1, y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    B, H, W, C = features.shape
+    sh, sw = src_hw
+    wy = _axis_weights(y1, roi_h / ph, ph, sh, sr)       # [N, ph, srcH]
+    wx = _axis_weights(x1, roi_w / pw, pw, sw, sr)
+    rh = jnp.asarray(_resize_weights(H, sh, "linear", True, None))
+    rw = jnp.asarray(_resize_weights(W, sw, "linear", True, None))
+    wy = jnp.einsum("nps,sh->nph", wy, rh, precision=precision)
+    wx = jnp.einsum("nqs,sw->nqw", wx, rw, precision=precision)
+    if features.dtype != jnp.float32:
+        wy = wy.astype(features.dtype)
+        wx = wx.astype(features.dtype)
+    if B == 1:
+        rows = jnp.einsum("nph,hwc->npwc", wy, features[0],
+                          precision=precision)
+    else:
+        feats = features[jnp.asarray(box_indices, jnp.int32)]
+        rows = jnp.einsum("nph,nhwc->npwc", wy, feats, precision=precision)
+    return jnp.einsum("npwc,nqw->npqc", rows, wx, precision=precision)
