@@ -66,21 +66,9 @@ def _instance_norm(x, eps=1e-5):
             * scale[:, None, None].astype(x.dtype))
 
 
-def _instance_norm_fused(x, relu: bool = False):
-    """Instance norm via the fused Pallas kernel on TPU (3 HBM passes incl.
-    the ReLU; the XLA form measures ~9x its roofline at the encoder's
-    full-res shapes — scripts/profile_raft_backbone.py). CPU keeps the XLA
-    form (exact parity oracle; pallas interpret would be slower)."""
-    if jax.default_backend() == "cpu":
-        y = _instance_norm(x)
-        return _relu(y) if relu else y
-    from prisma_tpu.ops.pallas.instance_norm import instance_norm_relu
-    return instance_norm_relu(x, relu=relu)
-
-
 def _apply_norm(p, x, kind: str):
     if kind == "instance":
-        return _instance_norm_fused(x)
+        return _instance_norm(x)
     if kind == "affine":  # folded eval-mode BatchNorm
         return x * p["scale"] + p["bias"]
     if kind == "none":
@@ -89,9 +77,9 @@ def _apply_norm(p, x, kind: str):
 
 
 def _norm_relu(p, x, kind: str):
-    """relu(norm(x)) with the relu fused into the instance-norm kernel."""
-    if kind == "instance":
-        return _instance_norm_fused(x, relu=True)
+    """relu(norm(x)). (A fused Pallas instance-norm+relu was built and
+    measured e2e-neutral here — the XLA norm is already at its HBM roofline,
+    0.42 ms at [4, 408, 720, 64]; see ops/pallas/instance_norm.py.)"""
     return _relu(_apply_norm(p, x, kind))
 
 

@@ -1,23 +1,25 @@
 """Pallas TPU fused instance norm (+ optional ReLU) for NHWC activations.
 
-RAFT/GMFlow encoders apply per-(sample, channel) instance norm to full-res
-activations (e.g. [4, 408, 720, 64] — reference bands/raft/extractor.py's
-nn.InstanceNorm2d). The XLA lowering of the single-pass f32-moment form
-costs ~4 ms per application at that shape on the v5e (scripts/
-profile_raft_backbone.py) — ~9x the 0.45 ms three-pass HBM roofline — and
-fnet applies it 13 times, making the norm, not the convs, the backbone's
-cost center (fnet 50 ms vs the affine-normed cnet at 16 ms, B=4).
+STATUS: built, parity-tested, measured — NOT adopted. The hypothesis was
+that instance norm made RAFT's fnet 3x its affine-normed cnet (50 vs 16 ms
+at B=4, scripts/profile_raft_backbone.py); but the XLA norm measured alone
+is already AT its HBM roofline (0.42 ms at [4, 408, 720, 64]), and swapping
+this kernel in was e2e-neutral (50.7 vs 50.1 ms). The fnet/cnet delta is
+layout-assignment copies AROUND the norm (the compiled fnet has 485 copy
+ops: the reduce barrier forces conv-layout materializations the affine path
+fuses away), which a custom norm cannot remove — XLA just moves the same
+copies to the custom-call boundary. Kept as the measured negative result
+with its parity tests; the encoders use the plain XLA form.
 
 Two kernels, three total HBM passes:
   1. stats: grid over (B, row-blocks) accumulating per-channel f32
-     sum/sumsq into one [B, C] block per sample (same output block for every
-     row step -> legal sequential accumulation under "arbitrary" semantics).
-  2. apply: x * scale + shift (+ relu), scale/shift finalized in XLA from
-     the sums ([B, C] math, trivial).
+     sum/sumsq into one [B, 1, C] block per sample (same output block for
+     every row step -> legal sequential accumulation under "arbitrary"
+     semantics).
+  2. apply: (x - mean) * scale (+ relu), finalized in XLA from the sums.
 
 Exactness: moments accumulate in f32 over bf16 inputs exactly like the XLA
-path (jnp.mean(dtype=f32) also upcasts per element before the tree
-reduction); parity pinned in tests/test_instance_norm_kernel.py.
+path; parity pinned in tests/test_instance_norm_kernel.py.
 """
 
 from __future__ import annotations
@@ -39,24 +41,32 @@ def _stats_kernel(x_ref, sum_ref, sq_ref):
         sq_ref[...] = jnp.zeros_like(sq_ref)
 
     x = x_ref[0].astype(jnp.float32)                     # [S_BLK, C]
-    sum_ref[...] += jnp.sum(x, axis=0, keepdims=True)
-    sq_ref[...] += jnp.sum(x * x, axis=0, keepdims=True)
+    sum_ref[0] += jnp.sum(x, axis=0, keepdims=True)
+    sq_ref[0] += jnp.sum(x * x, axis=0, keepdims=True)
 
 
 def _apply_kernel(x_ref, mean_ref, scale_ref, o_ref, *, relu: bool):
     # (x - mean) * scale, matching raft._instance_norm's form so the f32
     # parity path agrees to rounding
-    y = (x_ref[0].astype(jnp.float32) - mean_ref[...]) * scale_ref[...]
+    y = (x_ref[0].astype(jnp.float32) - mean_ref[0]) * scale_ref[0]
     if relu:
         y = jnp.maximum(y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
 def instance_norm_relu(x, eps: float = 1e-5, relu: bool = False,
-                       s_blk: int = 512, interpret: bool = False):
-    """Fused instance norm over H, W of NHWC x, optional trailing ReLU."""
+                       s_blk: int | None = None, interpret: bool = False):
+    """Fused instance norm over H, W of NHWC x, optional trailing ReLU.
+
+    s_blk: rows per grid step. Large blocks matter: per-grid-step overhead
+    on the v5e is ~2 us, so 512-row blocks (2300 steps at RAFT's
+    [4, 408, 720, 64]) cost more in stepping than the op's entire HBM
+    roofline. Default sizes to ~4 MB f32 blocks."""
     B, H, W, C = x.shape
     S = H * W
+    if s_blk is None:
+        # ~4 MB f32 per block, capped at the (8-padded) row count
+        s_blk = max(512, min(-(-S // 8) * 8, (1 << 20) // C // 8 * 8))
     xf = x.reshape(B, S, C)
     pad = (-S) % s_blk
     if pad:
@@ -70,20 +80,20 @@ def instance_norm_relu(x, eps: float = 1e-5, relu: bool = False,
         grid=(B, sp // s_blk),
         in_specs=[pl.BlockSpec((1, s_blk, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, C), lambda b, i: (b, 0),
+        out_specs=[pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, C), lambda b, i: (b, 0),
+                   pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, C), jnp.float32),
-                   jax.ShapeDtypeStruct((B, C), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(xf)
 
-    m1 = sums / S
+    m1 = sums / S                                        # [B, 1, C] f32
     var = jnp.maximum(sqs / S - m1 * m1, 0.0)
-    scale = jax.lax.rsqrt(var + eps)                     # [B, C] f32
+    scale = jax.lax.rsqrt(var + eps)
 
     out = pl.pallas_call(
         functools.partial(_apply_kernel, relu=relu),
@@ -91,9 +101,9 @@ def instance_norm_relu(x, eps: float = 1e-5, relu: bool = False,
         in_specs=[
             pl.BlockSpec((1, s_blk, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s_blk, C), lambda b, i: (b, i, 0),
