@@ -762,7 +762,9 @@ def _flow_warp(feature, flow):
     fy = flow[..., 1].astype(jnp.float32) + gy
     out = _bilinear_gather_feat(feature, fx.reshape(B, H * W),
                                 fy.reshape(B, H * W))
-    return out.reshape(B, H, W, C)
+    # the f32 sample coords promote the bilinear blend; keep feature dtype
+    # (bf16 production path) instead of leaking f32 into the transformer
+    return out.reshape(B, H, W, C).astype(feature.dtype)
 
 
 def flow_propagation_local(p, feature0, flow, radius: int = 1,
