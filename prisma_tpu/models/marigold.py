@@ -279,6 +279,23 @@ def _ensemble_solver(n, regularizer_strength, max_iter, tol):
     return jax.jit(solve)
 
 
+@functools.lru_cache(maxsize=None)
+def _epilogue_fn(out_hw):
+    """min/max rescale + antialiased-bicubic resize to the input resolution
+    (marigold_pipeline.py:226-233), jitted so the aligned map never makes a
+    host round trip before the one final fetch."""
+    from prisma_tpu.ops.resize import resize2d
+
+    def ep(aligned):
+        mn, mx = aligned.min(), aligned.max()
+        d = (aligned - mn) / (mx - mn)
+        r = resize2d(d[None, :, :, None], out_hw,
+                     method="cubic_aa")[0, :, :, 0]
+        return mn + r * (mx - mn)
+
+    return jax.jit(ep)
+
+
 def ensemble_depths_device(depth_preds, regularizer_strength: float = 0.02,
                            max_iter: int = 2, tol: float = 1e-3):
     """On-device scale/shift ensembling — the production path.
@@ -354,6 +371,24 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
         depth_latent, _ = shard_batch_padded(depth_latent, mesh)
 
     run = _infer_fn(denoising_steps, unet_cfg, precision)
+    if mesh is None:
+        # single-chip: keep the whole epilogue device-resident — preds never
+        # leave the device (the old path fetched all N maps, re-uploaded them
+        # for the BFGS, fetched the aligned map and re-uploaded it for the
+        # final resize: ~3 round trips of ~15 MB through the tunnel per frame)
+        preds = run(params, rgb, None,
+                    depth_latent=depth_latent)[:ensemble_size]
+        preds = preds.astype(jnp.float32)
+        if ensemble_size > 1:
+            aligned, _mad = _ensemble_solver(
+                ensemble_size, 0.02, 2, 1e-3)(preds)
+        else:
+            aligned = preds[0]
+        return np.asarray(_epilogue_fn((H, W))(aligned), dtype=np.float32)
+
+    # mesh path: gather the (padded) member batch to host before re-invoking
+    # device code — back-to-back SPMD executables with compiled collectives
+    # deadlock the XLA:CPU in-process rendezvous (see patchfusion.infer)
     preds = np.asarray(run(params, rgb, None, depth_latent=depth_latent),
                        dtype=np.float32)[:ensemble_size]
 

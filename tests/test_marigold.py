@@ -108,6 +108,24 @@ def test_marigold_infer_tiny():
     assert np.isfinite(depth).all()
 
 
+def test_marigold_infer_single_chip_path(monkeypatch):
+    """The device-resident single-chip epilogue (mesh=None: preds -> BFGS ->
+    resize with no host round trips) must match the mesh/host-gather path."""
+    from prisma_tpu import parallel
+
+    params = jmar.init_params(jax.random.key(0), TINY_UNET, TINY_VAE)
+    frame = np.random.default_rng(1).integers(0, 255, (40, 56, 3)).astype(np.uint8)
+    ref = jmar.infer(params, frame, denoising_steps=2, ensemble_size=2,
+                     processing_res=48, unet_cfg=TINY_UNET)
+    monkeypatch.setattr(parallel, "data_mesh_or_none", lambda: None)
+    got = jmar.infer(params, frame, denoising_steps=2, ensemble_size=2,
+                     processing_res=48, unet_cfg=TINY_UNET)
+    assert got.shape == ref.shape
+    # same preds; the device BFGS vs device BFGS trajectories are identical,
+    # only fetch points differ -> tight f32 agreement
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
 def test_marigold_band_image(tmp_path, monkeypatch):
     import cv2
     from prisma_tpu.bands import depth_marigold_band
