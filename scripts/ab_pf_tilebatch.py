@@ -9,6 +9,13 @@ p49 at tile_batch=16 is one sub-batch per pass: 4 run_tiles dispatches
 instead of 8, halving the per-dispatch tunnel RTTs that dominate the ~2 s
 of host orchestration (scripts/profile_pf_stages.py). Run alone — one TPU
 owner. Full-frame wall timing is fine here: calls are multi-hundred-ms.
+
+MEASURED (round 4, v5e via tunnel): tile_batch=8 4.834 s/frame;
+tile_batch=16 STILL fails with `remote_compile: HTTP 500:
+tpu_compile_helper subprocess exit code 1` even on the matmul-roi graph —
+the crash tracks the 16-tile batch dimension, not the roi_align gathers.
+The 8 cap stays; on a LOCAL chip (no tunnel compile helper) tile_batch=16
+remains worth retrying via PRISMA_PF_TILE_BATCH.
 """
 import os
 import sys
