@@ -16,7 +16,7 @@ from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.models import depth_anything as da
 from prisma_tpu.models import zoedepth as jzoe
 from prisma_tpu.runtime.config import RuntimeConfig
-from prisma_tpu.weights.store import load_depth_anything
+from prisma_tpu.weights.store import cast_params, load_depth_anything
 
 BAND = "depth_anything"
 
@@ -31,6 +31,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
                                                  metric=metric)
     flip = kind == "relative"
     dtype = runtime.resolve_dtype()
+    params = cast_params(params, dtype)  # models expect pre-cast params
 
     if kind == "metric":
         import os

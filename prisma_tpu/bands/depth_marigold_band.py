@@ -16,7 +16,7 @@ from prisma_tpu.bands import depth_base
 from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.models import marigold as jmar
 from prisma_tpu.runtime.config import RuntimeConfig
-from prisma_tpu.weights.store import load_marigold
+from prisma_tpu.weights.store import cast_params, load_marigold
 
 BAND = "depth_marigold"
 DENOISE_STEPS = 10
@@ -47,6 +47,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params, unet_cfg = load_marigold(runtime)
     dtype = runtime.resolve_dtype()
+    params = cast_params(params, dtype)  # models expect pre-cast params
     res = int(os.environ.get("PRISMA_MARIGOLD_RES", str(processing_res)))
     flip = False
 

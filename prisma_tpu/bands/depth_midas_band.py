@@ -18,7 +18,7 @@ from prisma_tpu.bands.base import BandIO, resolve
 
 from prisma_tpu.models import midas as jmidas
 from prisma_tpu.runtime.config import RuntimeConfig
-from prisma_tpu.weights.store import load_midas
+from prisma_tpu.weights.store import cast_params, load_midas
 
 BAND = "depth_midas"
 
@@ -31,6 +31,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     arch, params = load_midas(runtime, model_version)
     dtype = runtime.resolve_dtype()
+    params = cast_params(params, dtype)  # models expect pre-cast params
     import os
     default_target = 256 if model_version.endswith("-small") else 384
     target = int(os.environ.get("PRISMA_MIDAS_TARGET", str(default_target)))

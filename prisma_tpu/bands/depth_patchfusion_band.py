@@ -17,7 +17,7 @@ from prisma_tpu.bands import depth_base
 from prisma_tpu.bands.base import BandIO, resolve
 from prisma_tpu.models import patchfusion as pf
 from prisma_tpu.runtime.config import RuntimeConfig
-from prisma_tpu.weights.store import load_patchfusion
+from prisma_tpu.weights.store import cast_params, load_patchfusion
 
 BAND = "depth_patchfusion"
 
@@ -44,6 +44,9 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params, model_hw = load_patchfusion(runtime)
     dtype = runtime.resolve_dtype()
+    # models cast the IMAGE to compute_dtype and expect params pre-cast;
+    # without this the bf16 default crashed on a dtype-mismatched conv
+    params = cast_params(params, dtype)
     import os
     env = os.environ.get("PRISMA_PF_TILE_BATCH")  # tunnel-vs-local knob
     infer = functools.partial(_infer_frames, mode=mode, model_hw=model_hw,

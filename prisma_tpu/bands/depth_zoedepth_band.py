@@ -15,7 +15,7 @@ from prisma_tpu.bands.base import BandIO, resolve
 
 from prisma_tpu.models import zoed as jzoed
 from prisma_tpu.runtime.config import RuntimeConfig
-from prisma_tpu.weights.store import load_zoed
+from prisma_tpu.weights.store import cast_params, load_zoed
 
 BAND = "depth_zoedepth"
 
@@ -28,6 +28,9 @@ def run(input_path: str, output: str = "", subpath: str = "",
                  force_extension="png", runtime=runtime)
     params = load_zoed(runtime)
     dtype = runtime.resolve_dtype()
+    # models cast the IMAGE to compute_dtype and expect params pre-cast;
+    # without this the bf16 default crashed on a dtype-mismatched conv
+    params = cast_params(params, dtype)
     import os
     env = os.environ.get("PRISMA_ZOED_SIZE")  # tests shrink the BEiT grid
     img_size = tuple(int(v) for v in env.split(",")) if env \

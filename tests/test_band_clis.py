@@ -152,6 +152,35 @@ def test_depth_anything_cli_e2e_and_skip(tmp_path, monkeypatch, capsys):
     assert os.path.getmtime(out) >= mtime
 
 
+@pytest.mark.parametrize("band,env,extra", [
+    ("depth_anything_band", {"PRISMA_DA_TARGET": "126"},
+     ["--encoder", "vits"]),
+    ("depth_patchfusion_band",
+     {"PRISMA_PF_SIZE": "64,96", "PRISMA_PF_DEPTH": "4"},
+     ["--mode", "p16"]),
+    ("depth_marigold_band", {"PRISMA_MARIGOLD_TINY": "1",
+                             "PRISMA_MARIGOLD_RES": "64"},
+     ["--denoise_steps", "2", "--ensemble_size", "2"]),
+])
+def test_depth_band_default_bf16_e2e(tmp_path, monkeypatch, band, env,
+                                     extra):
+    """The DEFAULT dtype (bfloat16) must run end to end: models cast the
+    image to compute_dtype and expect params pre-cast, so a band that skips
+    cast_params crashes on its first mixed-dtype conv. All CI runs passed
+    --dtype float32, which hid exactly this for every depth band."""
+    import cv2
+    import importlib
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    mod = importlib.import_module(f"prisma_tpu.bands.{band}")
+    img_path = str(tmp_path / "photo.png")
+    cv2.imwrite(img_path, np.random.default_rng(1).integers(
+        0, 255, (48, 64, 3)).astype(np.uint8))
+    mod.main(["-i", img_path, "--random_weights"] + extra)  # default dtype
+    out = str(tmp_path / (band.replace("_band", "") + ".png"))
+    assert cv2.imread(out).shape == (48, 64, 3)
+
+
 def test_flow_raft_cli_e2e(tmp_path):
     from prisma_tpu.bands import flow_raft_band as mod
     folder = _make_folder(tmp_path, frames=3)
