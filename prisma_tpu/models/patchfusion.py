@@ -550,6 +550,101 @@ def _pass_runner(crop, model_hw):
 
 
 @functools.lru_cache(maxsize=None)
+def _pass_geometry(tiles_key, resolution, crop, model_hw, tile_batch):
+    """Stacked per-pass geometry as DEVICE constants: tile offsets, area
+    maps, bboxes and validity, padded to [S, tile_batch, ...] sub-batches
+    (edge-pad with the last tile). Cached per pass geometry, so a video pays
+    the ~13 MB/pass H2D exactly once — the fused pass runner then needs no
+    per-frame host->device constant traffic at all."""
+    areas, bbox_np = _pass_areas(tiles_key, resolution, crop, model_hw)
+    n = len(tiles_key)
+    s = (n + tile_batch - 1) // tile_batch
+    idx = np.minimum(np.arange(s * tile_batch), n - 1)
+    valid = (np.arange(s * tile_batch) < n).astype(np.float32)
+    offs = np.asarray(tiles_key, np.int32)[idx]
+    areas_s = areas[idx].reshape(s, tile_batch, *areas.shape[1:])
+    return (jnp.asarray(offs.reshape(s, tile_batch, 2)),
+            areas_s,
+            jnp.asarray(bbox_np[idx].reshape(s, tile_batch, 4)),
+            jnp.asarray(valid.reshape(s, tile_batch)))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_pass_runner(crop, model_hw, compute_dtype, precision):
+    """One jitted call per PASS: tile prep (crop + prior extraction), the
+    fine+fusion graph, and blur-masked accumulation, with a lax.scan over the
+    fixed-size sub-batches INSIDE the jit. The compile unit stays one
+    sub-batch wide (the flat 16-tile graph crashes the remote TPU compiler —
+    scripts/ab_pf_tilebatch.py), but a p49 frame drops from ~26 dispatches
+    (prep+tiles+accum per sub-batch) to coarse + 4 pass calls, removing the
+    per-dispatch tunnel RTTs that dominated the host-orchestration ~2 s
+    (scripts/profile_pf_stages.py). Math and accumulation order are identical
+    to the per-sub-batch path (prior frozen at pass start; sequential
+    blur-masked scatter); outputs agree to f32 ulp level (XLA fuses the
+    former jit-boundary ops differently inside the scan)."""
+    from jax import lax
+    ch, cw = crop
+
+    @functools.partial(jax.jit, static_argnames=("use_prior",))
+    def run_pass(params, img_t, img_lr, avg, cnt, cached_feats, cached_depth,
+                 offs, areas, bbox, valid, blur, use_prior):
+        # offs [S, T, 2] i32; areas [S, T, mh, mw, 1]; bbox [S, T, 4];
+        # valid [S, T] — S sub-batches of T tiles (device constants)
+        s, t = offs.shape[:2]
+        flat = offs.reshape(s * t, 2)
+        crops = jax.vmap(
+            lambda o: lax.dynamic_slice(img_t, (o[0], o[1], 0), (ch, cw, 3))
+        )(flat)
+        crops = resize2d(crops, model_hw, method="linear",
+                         align_corners=True).reshape(s, t, *model_hw, 3)
+        if use_prior:
+            # the running-average prior is FROZEN at the start of the pass
+            # (reference semantics), so every sub-batch's prior comes from
+            # the avg/cnt carried INTO the pass
+            ratio = avg / cnt
+            pr = jax.vmap(
+                lambda o: lax.dynamic_slice(ratio, (o[0], o[1]), (ch, cw))
+            )(flat)[..., None]
+            prior = resize2d(pr, model_hw, method="linear",
+                             align_corners=True).reshape(s, t, *model_hw, 1)
+        else:
+            prior = jnp.zeros((s, 1), jnp.float32)  # scan placeholder
+
+        cache = (cached_feats, cached_depth)
+
+        def body(carry, inp):
+            avg, cnt = carry
+            crops_s, prior_s, areas_s, bbox_s, offs_s, valid_s = inp
+            d, _ = patchfusion_tiles(
+                params, crops_s.astype(compute_dtype),
+                img_lr.astype(compute_dtype), bbox_s, areas_s,
+                prior_s if use_prior else None, cache,
+                model_hw=model_hw, precision=precision)
+            d = resize2d(d.astype(jnp.float32)[..., None], crop,
+                         method="linear", align_corners=True)[..., 0]
+
+            def acc(c2, tt):
+                avg, cnt = c2
+                d_i, o, v = tt
+                pa = lax.dynamic_slice(avg, (o[0], o[1]), (ch, cw))
+                pc = lax.dynamic_slice(cnt, (o[0], o[1]), (ch, cw))
+                avg = lax.dynamic_update_slice(avg, pa + d_i * blur * v,
+                                               (o[0], o[1]))
+                cnt = lax.dynamic_update_slice(cnt, pc + blur * v,
+                                               (o[0], o[1]))
+                return (avg, cnt), None
+
+            (avg, cnt), _ = lax.scan(acc, (avg, cnt), (d, offs_s, valid_s))
+            return (avg, cnt), None
+
+        (avg, cnt), _ = lax.scan(body, (avg, cnt),
+                                 (crops, prior, areas, bbox, offs, valid))
+        return avg, cnt
+
+    return run_pass
+
+
+@functools.lru_cache(maxsize=None)
 def _tile_runner(compute_dtype, model_hw, precision):
     """Jitted coarse + tile passes, cached by static config so video drivers
     do not re-trace per frame. Two separate compile units: the whole-image
@@ -575,7 +670,7 @@ def _tile_runner(compute_dtype, model_hw, precision):
 
 def infer(params, image_float, mode: str = "p16", precision=None,
           compute_dtype=jnp.float32, model_hw=MODEL_HW,
-          tile_batch: int | None = None):
+          tile_batch: int | None = None, fused: bool | None = None):
     """Full PatchFusion inference on one image [H, W, 3] float in [0,1].
 
     Returns depth [H, W] float32 at the input resolution. On a multi-chip
@@ -612,6 +707,14 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     avg_map = jnp.zeros(resolution, jnp.float32)
     count_map = jnp.zeros(resolution, jnp.float32)
     cache = tuple(run_coarse(params, img_lr))
+    # single chip: whole passes run as ONE jitted call each (sub-batch scan
+    # inside; geometry lives on device across frames). The mesh path keeps
+    # per-sub-batch dispatches so tile batches can shard over the data axis.
+    # `fused` overrides the auto choice (escape hatch + parity testing).
+    if fused is None:
+        fused = mesh is None
+    fused_pass = _fused_pass_runner(
+        crop, tuple(model_hw), compute_dtype, precision) if fused else None
 
     passes = [(0, 0)]
     if mode != "p16":
@@ -635,6 +738,15 @@ def infer(params, image_float, mode: str = "p16", precision=None,
         else:
             off_x, off_y = pass_spec
             tiles = _tile_grid(resolution, crop, off_x, off_y)
+        if fused_pass is not None:
+            offs_s, areas_s, bbox_s, valid_s = _pass_geometry(
+                tuple(tiles), resolution, crop, tuple(model_hw), tile_batch)
+            avg_map, count_map = fused_pass(
+                params, img_t_dev, img_lr, avg_map, count_map,
+                cache[0], cache[1], offs_s, areas_s, bbox_s, valid_s, blur,
+                use_prior=pass_i > 0)
+            continue
+
         areas_dev, bbox_np = _pass_areas(tuple(tiles), resolution, crop,
                                          tuple(model_hw))
         n_tiles = len(tiles)

@@ -50,3 +50,27 @@ def test_patchfusion_infer_random_tiles():
     depth = pf.infer(params, img, mode="r3", model_hw=model_hw)
     assert depth.shape == (96, 128)
     assert np.isfinite(depth).all()
+
+
+@pytest.mark.slow
+def test_patchfusion_fused_pass_matches_subbatch_path(monkeypatch):
+    """The single-chip fused-pass path (one jit per pass, sub-batch scan
+    inside) must match the per-sub-batch dispatch path: same prep math, same
+    frozen-prior semantics, same sequential accumulation. XLA fuses the
+    jit-boundary ops differently inside the scan, so agreement is f32
+    ulp-level (measured max 3e-7 rel), not bit-exact."""
+    from prisma_tpu import parallel
+
+    model_hw = (64, 96)
+    params = pf.init_params(jax.random.key(0), beit_depth=4,
+                            model_hw=model_hw)
+    img = np.random.default_rng(2).uniform(0, 1, (100, 140, 3)).astype(
+        np.float32)
+    # both paths on one device (mesh=None): isolates fused-vs-loop semantics
+    # from mesh padding/collectives
+    monkeypatch.setattr(parallel, "data_mesh_or_none", lambda: None)
+    ref = pf.infer(params, img, mode="p49", model_hw=model_hw, tile_batch=2,
+                   fused=False)
+    got = pf.infer(params, img, mode="p49", model_hw=model_hw, tile_batch=2,
+                   fused=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
