@@ -387,7 +387,7 @@ static void fit_dims(int in_w, int in_h, int* out_w, int* out_h) {
 }
 
 extern "C" void* pvc_open_writer(const char* path, int width, int height, double fps,
-                                 int crf, const char* codec_name) {
+                                 int crf, const char* codec_name, const char* preset) {
   FpEnvGuard fp_guard;
   Writer* w = new Writer();
   fit_dims(width, height, &w->width, &w->height);
@@ -426,6 +426,12 @@ extern "C" void* pvc_open_writer(const char* path, int width, int height, double
   char crf_str[16];
   snprintf(crf_str, sizeof(crf_str), "%d", crf);
   av_opt_set(w->enc->priv_data, "crf", crf_str, 0);
+  // Optional x264 speed/size preset. Empty keeps the encoder default
+  // ("medium"), which matches the reference writer's output settings; faster
+  // presets are a production throughput lever (the band mp4 encode is the
+  // host-side bottleneck of the 3-band pipeline on small hosts).
+  if (preset && *preset)
+    av_opt_set(w->enc->priv_data, "preset", preset, 0);
 
   if ((err = avcodec_open2(w->enc, codec, nullptr)) < 0) {
     set_error("encoder open", err);

@@ -48,7 +48,8 @@ def _load_lib():
         lib.pvc_close_reader.argtypes = [ctypes.c_void_p]
         lib.pvc_open_writer.restype = ctypes.c_void_p
         lib.pvc_open_writer.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                        ctypes.c_double, ctypes.c_int, ctypes.c_char_p]
+                                        ctypes.c_double, ctypes.c_int, ctypes.c_char_p,
+                                        ctypes.c_char_p]
         lib.pvc_write_frame.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.pvc_writer_dims.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
@@ -239,10 +240,18 @@ class VideoWriter:
 
     def __init__(self, width: int, height: int, frame_rate: float, crf: int = 15,
                  filename: str = "output.mp4", codec: str = "libx264",
-                 async_encode: bool = True, queue_depth: int = 8):
+                 async_encode: bool = True, queue_depth: int = 8,
+                 preset: str | None = None):
         self._lib = _load_lib()
+        if preset is None:
+            # Global production knob: "" keeps x264's default ("medium", the
+            # reference writer's behavior); faster presets (veryfast/ultrafast)
+            # trade bitrate for encode throughput — the host-side bottleneck of
+            # the 3-band pipeline (see bench_all.bench_host_io).
+            preset = os.environ.get("PRISMA_X264_PRESET", "")
         self._h = self._lib.pvc_open_writer(filename.encode(), width, height,
-                                            float(frame_rate), crf, codec.encode())
+                                            float(frame_rate), crf, codec.encode(),
+                                            preset.encode())
         if not self._h:
             raise IOError(f"cannot open writer {filename}: {_last_error()}")
         w = ctypes.c_int()

@@ -152,3 +152,27 @@ def test_extract_and_make_video_roundtrip(tmp_path):
     r = VideoReader(out)
     assert (r.width, r.height, r.num_frames) == (48, 32, 6)
     r.close()
+
+
+@pytest.mark.parametrize("preset", ["ultrafast", "veryfast"])
+def test_preset_roundtrip(tmp_path, preset, monkeypatch):
+    # The x264 preset knob (production encode-throughput lever) must keep
+    # crf-15 fidelity; also exercises the PRISMA_X264_PRESET env default.
+    frames = _gradient_frames(8, 48, 64)
+    path = str(tmp_path / f"{preset}.mp4")
+    w = VideoWriter(64, 48, 24.0, filename=path, preset=preset)
+    for f in frames:
+        w.write(f)
+    w.close()
+    decoded = list(VideoReader(path))
+    assert len(decoded) == 8
+    for orig, dec in zip(frames, decoded):
+        assert np.abs(orig.astype(int) - dec.astype(int)).mean() < 4.0
+
+    monkeypatch.setenv("PRISMA_X264_PRESET", preset)
+    path2 = str(tmp_path / f"env_{preset}.mp4")
+    w = VideoWriter(64, 48, 24.0, filename=path2)  # preset=None -> env
+    for f in frames:
+        w.write(f)
+    w.close()
+    assert len(list(VideoReader(path2))) == 8
