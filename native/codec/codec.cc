@@ -50,6 +50,21 @@ static void set_error(const std::string& msg, int averr = 0) {
 
 extern "C" const char* pvc_last_error() { return g_error.c_str(); }
 
+// Quiet libav's per-encode x264 banners/stats by default so band CLIs print
+// clean output; PVC_LOG=info|verbose|debug restores them for diagnosis.
+namespace {
+struct LogLevelInit {
+  LogLevelInit() {
+    const char* lvl = getenv("PVC_LOG");
+    if (!lvl || !*lvl) av_log_set_level(AV_LOG_ERROR);
+    else if (!strcmp(lvl, "debug")) av_log_set_level(AV_LOG_DEBUG);
+    else if (!strcmp(lvl, "verbose")) av_log_set_level(AV_LOG_VERBOSE);
+    else if (!strcmp(lvl, "info")) av_log_set_level(AV_LOG_INFO);
+    else av_log_set_level(AV_LOG_ERROR);
+  }
+} g_log_level_init;
+}  // namespace
+
 // ---------------------------------------------------------------------------
 // Reader
 // ---------------------------------------------------------------------------
