@@ -242,7 +242,10 @@ def bench_patchfusion():
     params = pf.init_params(jax.random.key(6), beit_depth=24)
     from prisma_tpu.weights.store import cast_params
     params = jax.device_put(cast_params(params, jnp.bfloat16))
-    img = np.random.default_rng(0).uniform(0, 1, (1080, 1920, 3)).astype(np.float32)
+    # u8 input like the production band path: pf.infer normalizes on device
+    # (4x less H2D per frame than host-converted f32 — see patchfusion.infer)
+    img = np.random.default_rng(0).integers(
+        0, 256, (1080, 1920, 3)).astype(np.uint8)
 
     # warmup (compiles the tile passes)
     pf.infer(params, img, mode="p49", compute_dtype=jnp.bfloat16)

@@ -347,7 +347,8 @@ def infer(params, frame_u8: np.ndarray, denoising_steps: int = 10,
     # encodable (768-max edges) — we round down to the nearest multiple of 8
     w2, h2 = max(8, w2 - w2 % 8), max(8, h2 - h2 % 8)
 
-    rgb = jnp.asarray(frame_u8, jnp.float32)[None] / 255.0
+    # upload u8 (4x less H2D than host-converted f32), normalize on device
+    rgb = jnp.asarray(frame_u8).astype(jnp.float32)[None] / 255.0
     # reference resize_max_res uses PIL Image.resize default = antialiased
     # bicubic (marigold/util/image_util.py:98)
     rgb = resize2d(rgb, (h2, w2), method="cubic_aa").astype(compute_dtype)

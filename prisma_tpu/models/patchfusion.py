@@ -685,7 +685,15 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     resolution = pick_resolution(H, W)
     crop = (resolution[0] // 4, resolution[1] // 4)
 
-    img_t = resize2d(jnp.asarray(image_float, jnp.float32)[None],
+    # uint8 frames upload as-is (4x less H2D than host-converted f32 — the
+    # tunnel makes this a large share of s/frame) and normalize on device;
+    # identical f32 arithmetic either way.
+    img_dev = jnp.asarray(image_float)
+    if img_dev.dtype == jnp.uint8:
+        img_dev = img_dev.astype(jnp.float32) / 255.0
+    else:
+        img_dev = img_dev.astype(jnp.float32)
+    img_t = resize2d(img_dev[None],
                      resolution, method="cubic", align_corners=True)[0]
     img_lr = resize2d(img_t[None], model_hw, method="linear",
                       align_corners=True)

@@ -74,3 +74,15 @@ def test_patchfusion_fused_pass_matches_subbatch_path(monkeypatch):
     got = pf.infer(params, img, mode="p49", model_hw=model_hw, tile_batch=2,
                    fused=True)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_patchfusion_infer_uint8_matches_float():
+    # u8 frames normalize on device (band fast path); must equal the host
+    # f32/255 path exactly (same f32 division, just on the other side of H2D)
+    model_hw = (64, 96)
+    params = pf.init_params(jax.random.key(0), beit_depth=4, model_hw=model_hw)
+    img_u8 = np.random.default_rng(1).integers(0, 256, (100, 140, 3), dtype=np.uint8)
+    ref = pf.infer(params, img_u8.astype(np.float32) / 255.0, mode="p16",
+                   model_hw=model_hw)
+    got = pf.infer(params, img_u8, mode="p16", model_hw=model_hw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
