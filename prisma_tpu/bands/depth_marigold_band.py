@@ -6,8 +6,6 @@ Reference: `bands/depth_marigold.py` — 10 DDIM steps x 10 ensemble members at
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,7 +46,7 @@ def run(input_path: str, output: str = "", subpath: str = "",
     params, unet_cfg = load_marigold(runtime)
     dtype = runtime.resolve_dtype()
     params = cast_params(params, dtype)  # models expect pre-cast params
-    res = int(os.environ.get("PRISMA_MARIGOLD_RES", str(processing_res)))
+    res = int(processing_res)
     flip = False
 
     def infer(params_, frames, idx0=0):

@@ -23,21 +23,33 @@ from prisma_tpu.weights.store import cast_params, load_midas
 BAND = "depth_midas"
 
 
-def run(input_path: str, output: str = "", subpath: str = "",
-        model_version: str = "midas3", npy: bool = False, ply: bool = False,
-        runtime: RuntimeConfig | None = None) -> BandIO:
-    runtime = runtime or RuntimeConfig()
-    io = resolve(BAND, input_path, output=output, subpath=subpath,
-                 force_extension="png", runtime=runtime)
+def build_infer(runtime: RuntimeConfig, model_version: str = "midas3",
+                target: int | None = None):
+    """-> (params, infer, flip), shared by run() and bands/multiband.py.
+
+    target: upper-bound resize budget; None = the reference transform's
+    default for the model_version (256 for -small variants, else 384)."""
     arch, params = load_midas(runtime, model_version)
     dtype = runtime.resolve_dtype()
     params = cast_params(params, dtype)  # models expect pre-cast params
-    import os
-    default_target = 256 if model_version.endswith("-small") else 384
-    target = int(os.environ.get("PRISMA_MIDAS_TARGET", str(default_target)))
+    if target is None:
+        target = 256 if model_version.endswith("-small") else 384
     infer_fn = jmidas.infer_v2 if arch == "v2" else jmidas.infer
     infer = functools.partial(infer_fn, compute_dtype=dtype, target=target)
-    flip = True  # disparity: near is 1 after flip (depth_midas.py:106,147)
+    # disparity: near is 1 after flip (depth_midas.py:106,147)
+    return params, infer, True
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        model_version: str = "midas3", npy: bool = False, ply: bool = False,
+        target: int | None = None,
+        runtime: RuntimeConfig | None = None) -> BandIO:
+    """target: see build_infer."""
+    runtime = runtime or RuntimeConfig()
+    io = resolve(BAND, input_path, output=output, subpath=subpath,
+                 force_extension="png", runtime=runtime)
+    params, infer, flip = build_infer(runtime, model_version=model_version,
+                                      target=target)
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
@@ -61,10 +73,14 @@ def main(argv=None):
                         choices=["midas2-small", "midas2", "midas3-small",
                                  "midas3"],
                         help="model_version (depth_midas.py:26)")
+    parser.add_argument("--img_size", type=int, default=None,
+                        help="upper-bound resize target (default 384, "
+                             "256 for -small variants)")
     args = parser.parse_args(argv)
     run_guarded(BAND, run, args.input, output=args.output,
                 subpath=args.subpath, model_version=args.model, npy=args.npy,
-                ply=args.ply, runtime=runtime_from_args(args))
+                ply=args.ply, target=args.img_size,
+                runtime=runtime_from_args(args))
 
 
 if __name__ == "__main__":

@@ -39,7 +39,10 @@ def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype,
 
 def run(input_path: str, output: str = "", subpath: str = "",
         mode: str = "r128", npy: bool = False, ply: bool = False,
+        tile_batch: int | None = None,
         runtime: RuntimeConfig | None = None) -> BandIO:
+    """tile_batch: tiles per fused device pass (None = pf.infer's default 8;
+    the remote tunneled compiler 500s at 16 — local chips may take more)."""
     runtime = runtime or RuntimeConfig()
     io = resolve(BAND, input_path, output=output, subpath=subpath,
                  force_extension="png", runtime=runtime)
@@ -48,11 +51,8 @@ def run(input_path: str, output: str = "", subpath: str = "",
     # models cast the IMAGE to compute_dtype and expect params pre-cast;
     # without this the bf16 default crashed on a dtype-mismatched conv
     params = cast_params(params, dtype)
-    import os
-    env = os.environ.get("PRISMA_PF_TILE_BATCH")  # tunnel-vs-local knob
     infer = functools.partial(_infer_frames, mode=mode, model_hw=model_hw,
-                              dtype=dtype,
-                              tile_batch=int(env) if env else None)
+                              dtype=dtype, tile_batch=tile_batch)
     flip = False  # metric
 
     if io.is_video():
@@ -71,13 +71,20 @@ def main(argv=None):
     from prisma_tpu.bands.cli import band_parser, run_guarded, \
         runtime_from_args
 
+    import os
+
     parser = band_parser(BAND, npy_ply=True)
     parser.add_argument("--mode", type=str, default="r128",
                         help="p16, p49 or rN (N random tiles)")
+    env_tb = os.environ.get("PRISMA_PF_TILE_BATCH")  # documented runtime knob
+    parser.add_argument("--tile_batch", type=int,
+                        default=int(env_tb) if env_tb else None,
+                        help="tiles per fused device pass (default 8)")
     args = parser.parse_args(argv)
     run_guarded(BAND, run, args.input, output=args.output,
                 subpath=args.subpath, mode=args.mode, npy=args.npy,
-                ply=args.ply, runtime=runtime_from_args(args))
+                ply=args.ply, tile_batch=args.tile_batch,
+                runtime=runtime_from_args(args))
 
 
 if __name__ == "__main__":

@@ -20,24 +20,30 @@ from prisma_tpu.weights.store import cast_params, load_zoed
 BAND = "depth_zoedepth"
 
 
-def run(input_path: str, output: str = "", subpath: str = "",
-        npy: bool = False, ply: bool = False,
-        runtime: RuntimeConfig | None = None) -> BandIO:
-    runtime = runtime or RuntimeConfig()
-    io = resolve(BAND, input_path, output=output, subpath=subpath,
-                 force_extension="png", runtime=runtime)
+def build_infer(runtime: RuntimeConfig, img_size=None):
+    """-> (params, infer, flip), shared by run() and bands/multiband.py.
+
+    img_size: (h, w) BEiT input budget; None = the reference's
+    jzoed.IMG_SIZE (384, 512). Smaller grids are for smoke/CI runs."""
     params = load_zoed(runtime)
     dtype = runtime.resolve_dtype()
     # models cast the IMAGE to compute_dtype and expect params pre-cast;
     # without this the bf16 default crashed on a dtype-mismatched conv
     params = cast_params(params, dtype)
-    import os
-    env = os.environ.get("PRISMA_ZOED_SIZE")  # tests shrink the BEiT grid
-    img_size = tuple(int(v) for v in env.split(",")) if env \
-        else jzoed.IMG_SIZE
+    img_size = tuple(img_size) if img_size else jzoed.IMG_SIZE
     infer = functools.partial(jzoed.infer, compute_dtype=dtype,
                               img_size=img_size)
-    flip = False  # metric depth
+    return params, infer, False  # metric depth: no flip
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        npy: bool = False, ply: bool = False, img_size=None,
+        runtime: RuntimeConfig | None = None) -> BandIO:
+    """img_size: see build_infer."""
+    runtime = runtime or RuntimeConfig()
+    io = resolve(BAND, input_path, output=output, subpath=subpath,
+                 force_extension="png", runtime=runtime)
+    params, infer, flip = build_infer(runtime, img_size=img_size)
 
     if io.is_video():
         need_depth = bool(io.subpath) or npy
@@ -57,10 +63,13 @@ def main(argv=None):
         runtime_from_args
 
     parser = band_parser(BAND, npy_ply=True)
+    parser.add_argument("--img_size", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="BEiT input budget (default 384 512)")
     args = parser.parse_args(argv)
     run_guarded(BAND, run, args.input, output=args.output,
                 subpath=args.subpath, npy=args.npy, ply=args.ply,
-                runtime=runtime_from_args(args))
+                img_size=args.img_size, runtime=runtime_from_args(args))
 
 
 if __name__ == "__main__":

@@ -17,20 +17,30 @@ BAND = "flow_raft"
 ITERATIONS = 20
 
 
+def build_pairs(runtime: RuntimeConfig, iterations: int = ITERATIONS,
+                corr_impl: str = "volume_onehot"):
+    """-> (lazy_params, infer_pairs), shared by run() and bands/multiband.py.
+
+    corr_impl "volume_onehot" (default): materialized bf16 pyramid +
+    one-hot MXU-matmul window lookup — measured 4.7x faster than
+    take_along_axis row gathers on the v5e (4.48 vs 0.95 pair-fps at
+    810x1440x20it). "fused" selects the O(HW)-memory lookup for inputs whose
+    materialized corr pyramid would not fit HBM (>>1080p)."""
+    params = lambda: load_raft(runtime)  # noqa: E731 — loaded after resolve
+    infer = functools.partial(jraft.infer_pairs, iters=iterations,
+                              corr_impl=corr_impl)
+    return params, infer
+
+
 def run(input_path: str, output: str = "", subpath: str = "",
         backwards: bool = False, mask: bool = False, subpath_mask: str = "",
         iterations: int = ITERATIONS, scale: float = 0.75,
+        corr_impl: str = "volume_onehot",
         runtime: RuntimeConfig | None = None) -> BandIO:
+    """corr_impl: see build_pairs."""
     runtime = runtime or RuntimeConfig()
-    params = lambda: load_raft(runtime)  # noqa: E731 — loaded after resolve
-    # volume_onehot: materialized bf16 pyramid + one-hot MXU-matmul window
-    # lookup — measured 4.7x faster than take_along_axis row gathers on the
-    # v5e (4.48 vs 0.95 pair-fps at 810x1440x20it). PRISMA_RAFT_CORR=fused
-    # selects the O(HW)-memory lookup for inputs whose materialized corr
-    # pyramid would not fit HBM (>>1080p).
-    corr_impl = os.environ.get("PRISMA_RAFT_CORR", "volume_onehot")
-    infer = functools.partial(jraft.infer_pairs, iters=iterations,
-                              corr_impl=corr_impl)
+    params, infer = build_pairs(runtime, iterations=iterations,
+                                corr_impl=corr_impl)
     return run_flow_band(BAND, input_path, params, infer, output=output,
                          subpath=subpath, backwards=backwards, mask=mask,
                          subpath_mask=subpath_mask, scale=scale,
@@ -50,12 +60,19 @@ def main(argv=None):
                         help="folder for 16-bit packed flow+validity PNGs")
     parser.add_argument("--iterations", type=int, default=ITERATIONS)
     parser.add_argument("--scale", type=float, default=0.75)
+    parser.add_argument("--corr_impl", type=str,
+                        default=os.environ.get("PRISMA_RAFT_CORR",
+                                               "volume_onehot"),
+                        choices=["volume_onehot", "volume_onehot_xf",
+                                 "volume_onehot_packed", "volume", "fused",
+                                 "volume_pallas", "volume_gk"],
+                        help="correlation lookup variant (see run())")
     args = parser.parse_args(argv)
     run_guarded(BAND, run, args.input, output=args.output,
                 subpath=args.subpath, backwards=args.backwards,
                 mask=args.mask, subpath_mask=args.subpath_mask,
                 iterations=args.iterations, scale=args.scale,
-                runtime=runtime_from_args(args))
+                corr_impl=args.corr_impl, runtime=runtime_from_args(args))
 
 
 if __name__ == "__main__":

@@ -51,8 +51,7 @@ def infer(params: dict, frames_u8: jnp.ndarray, encoder: str = "vitl",
     """Full driver-equivalent inference: uint8 frames [B, H, W, 3] -> depth [B, H, W].
 
     target: ViT input budget (lower_bound resize target, reference
-    dpt.py:image2tensor 518); tests shrink it via the band's
-    PRISMA_DA_TARGET env hook — the model itself takes it as an argument.
+    dpt.py:image2tensor 518); tests shrink it via the band's --img_size arg.
     """
     B, H, W, _ = frames_u8.shape
     w2, h2 = dpt_input_size(W, H, target=target)

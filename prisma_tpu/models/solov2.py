@@ -50,6 +50,11 @@ class SOLOv2Config:
     filter_thr: float = 0.05
     sigma: float = 2.0
     max_per_img: int = 100
+    # keep-ratio resize budget (long_edge, short_edge) of the mmdet test
+    # pipeline (coco_instance.py:16-30). None = test_scale's (1333, 800)
+    # defaults; small budgets let dry runs compile the UNMODIFIED production
+    # graph structure in seconds.
+    scale: tuple | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -312,14 +317,15 @@ def test_scale(ori_h: int, ori_w: int, long_edge: int = 1333,
     return int(ori_h * factor + 0.5), int(ori_w * factor + 0.5)
 
 
-def preprocess(frame_u8, precision=None, dtype=None):
+def preprocess(frame_u8, precision=None, dtype=None, scale=None):
     """[1, H, W, 3] uint8 RGB -> (normalized padded image, (h, w) resized).
 
     dtype: model compute dtype — resize+normalize stay f32 for accuracy, then
     the image casts down (bf16 on the production path) to match the params.
+    scale: (long_edge, short_edge) budget; None = the (1333, 800) test cfg.
     """
     H, W = frame_u8.shape[1:3]
-    h, w = test_scale(H, W)
+    h, w = test_scale(H, W) if scale is None else test_scale(H, W, *scale)
     img = resize2d(frame_u8.astype(jnp.float32), (h, w), method="linear")
     img = (img - jnp.asarray(IMG_MEAN)) / jnp.asarray(IMG_STD)
     if dtype is not None:

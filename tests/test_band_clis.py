@@ -128,15 +128,14 @@ def test_rgba_cli_e2e(tmp_path):
     assert len(os.listdir(str(tmp_path / "images"))) == 3
 
 
-def test_depth_anything_cli_e2e_and_skip(tmp_path, monkeypatch, capsys):
+def test_depth_anything_cli_e2e_and_skip(tmp_path, capsys):
     import cv2
-    monkeypatch.setenv("PRISMA_DA_TARGET", "126")
     from prisma_tpu.bands import depth_anything_band as mod
     img_path = str(tmp_path / "photo.png")
     cv2.imwrite(img_path, np.random.default_rng(0).integers(
         0, 255, (48, 64, 3)).astype(np.uint8))
     args = ["-i", img_path, "--encoder", "vits", "--dtype", "float32",
-            "--random_weights"]
+            "--random_weights", "--img_size", "126"]
     mod.main(args)
     out = str(tmp_path / "depth_anything.png")
     assert cv2.imread(out).shape == (48, 64, 3)
@@ -153,14 +152,14 @@ def test_depth_anything_cli_e2e_and_skip(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.parametrize("band,env,extra", [
-    ("depth_anything_band", {"PRISMA_DA_TARGET": "126"},
-     ["--encoder", "vits"]),
+    ("depth_anything_band", {},
+     ["--encoder", "vits", "--img_size", "126"]),
     ("depth_patchfusion_band",
      {"PRISMA_PF_SIZE": "64,96", "PRISMA_PF_DEPTH": "4"},
      ["--mode", "p16"]),
-    ("depth_marigold_band", {"PRISMA_MARIGOLD_TINY": "1",
-                             "PRISMA_MARIGOLD_RES": "64"},
-     ["--denoise_steps", "2", "--ensemble_size", "2"]),
+    ("depth_marigold_band", {"PRISMA_MARIGOLD_TINY": "1"},
+     ["--denoise_steps", "2", "--ensemble_size", "2",
+      "--processing_res", "64"]),
 ])
 def test_depth_band_default_bf16_e2e(tmp_path, monkeypatch, band, env,
                                      extra):

@@ -131,12 +131,11 @@ def test_marigold_band_image(tmp_path, monkeypatch):
     from prisma_tpu.bands import depth_marigold_band
     from prisma_tpu.runtime.config import RuntimeConfig
     monkeypatch.setenv("PRISMA_MARIGOLD_TINY", "1")
-    monkeypatch.setenv("PRISMA_MARIGOLD_RES", "48")
     img_path = str(tmp_path / "photo.png")
     cv2.imwrite(img_path, np.random.default_rng(0).integers(
         0, 255, (40, 56, 3)).astype(np.uint8))
     io = depth_marigold_band.run(
-        img_path, denoise_steps=2, ensemble_size=2,
+        img_path, denoise_steps=2, ensemble_size=2, processing_res=48,
         runtime=RuntimeConfig(random_weights=True, compute_dtype="float32"))
     assert cv2.imread(io.output).shape == (40, 56, 3)
 

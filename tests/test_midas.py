@@ -17,23 +17,21 @@ def test_midas_forward_shapes():
     assert float(np.asarray(out).min()) >= 0.0  # non_negative head
 
 
-def test_midas_infer_resizes_back(monkeypatch):
-    monkeypatch.setenv("PRISMA_MIDAS_TARGET", "96")
+def test_midas_infer_resizes_back():
     params = jmidas.init_params(jax.random.key(0))
     frames = np.random.default_rng(1).integers(0, 255, (2, 50, 70, 3)).astype(np.uint8)
     out = jmidas.infer(params, frames, target=96)
     assert np.asarray(out).shape == (2, 50, 70)
 
 
-def test_midas_band_image(tmp_path, monkeypatch):
+def test_midas_band_image(tmp_path):
     import cv2
     from prisma_tpu.bands import depth_midas_band
     from prisma_tpu.runtime.config import RuntimeConfig
-    monkeypatch.setenv("PRISMA_MIDAS_TARGET", "96")
     img_path = str(tmp_path / "photo.png")
     cv2.imwrite(img_path, np.random.default_rng(0).integers(
         0, 255, (48, 72, 3)).astype(np.uint8))
-    io = depth_midas_band.run(img_path, runtime=RuntimeConfig(
+    io = depth_midas_band.run(img_path, target=96, runtime=RuntimeConfig(
         random_weights=True, compute_dtype="float32"))
     assert cv2.imread(io.output).shape == (48, 72, 3)
 
@@ -200,11 +198,10 @@ def test_midas2_infer_shapes():
     assert np.asarray(out).shape == (1, 50, 70)
 
 
-def test_midas_band_all_versions(tmp_path, monkeypatch):
+def test_midas_band_all_versions(tmp_path):
     import cv2
     from prisma_tpu.bands import depth_midas_band
     from prisma_tpu.runtime.config import RuntimeConfig
-    monkeypatch.setenv("PRISMA_MIDAS_TARGET", "96")
     img_path = str(tmp_path / "photo.png")
     cv2.imwrite(img_path, np.random.default_rng(0).integers(
         0, 255, (48, 72, 3)).astype(np.uint8))
@@ -212,7 +209,7 @@ def test_midas_band_all_versions(tmp_path, monkeypatch):
                                  "midas3"]):
         out_path = str(tmp_path / f"depth_midas_v{i}.png")
         io = depth_midas_band.run(
-            img_path, output=out_path, runtime=RuntimeConfig(
+            img_path, output=out_path, target=96, runtime=RuntimeConfig(
                 random_weights=True, compute_dtype="float32"),
             model_version=version)
         assert cv2.imread(io.output).shape == (48, 72, 3)

@@ -8,9 +8,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(autouse=True)
-def small_model(monkeypatch):
-    monkeypatch.setenv("PRISMA_DA_TARGET", "126")  # 9x9 ViT grid: fast compile
+# 9x9 ViT grid: fast compile (--depth_size is the process.py budget override)
+SMALL = ["--depth_size", "126"]
 
 
 def _make_video(path, frames=5, w=96, h=64):
@@ -30,7 +29,7 @@ def test_process_video_e2e(tmp_path):
     _make_video(clip)
     folder = main(["-i", clip, "--random_weights", "--encoder", "vits",
                    "--batch", "2", "--dtype", "float32",
-                   "--flow", "none", "--mask", "none"])
+                   "--flow", "none", "--mask", "none"] + SMALL)
 
     files = sorted(os.listdir(folder))
     assert "rgba.mp4" in files
@@ -65,7 +64,7 @@ def test_process_image_e2e(tmp_path):
 
     folder = main(["-i", img_path, "--random_weights", "--encoder", "vits",
                    "--dtype", "float32", "-d", "depth_anything",
-                   "--mask", "none", "--ply"])
+                   "--mask", "none", "--ply"] + SMALL)
     files = sorted(os.listdir(folder))
     assert "rgba.png" in files
     assert "depth_anything.png" in files
@@ -118,7 +117,7 @@ def test_process_video_full_default_pipeline(tmp_path, monkeypatch):
     _make_video(clip, frames=3, w=96, h=64)
     folder = main(["-i", clip, "--random_weights", "--encoder", "vits",
                    "--batch", "2", "--dtype", "float32",
-                   "--flow_backwards", "--flow_mask"])
+                   "--flow_backwards", "--flow_mask"] + SMALL)
 
     files = sorted(os.listdir(folder))
     for expected in ["rgba.mp4", "images",

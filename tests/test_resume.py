@@ -64,13 +64,10 @@ def _assert_folders_equivalent(golden: str, crashy: str, video_tol: int = 12):
             assert d <= video_tol, f"{name}[{i}]: decoded diff {d}"
 
 
-@pytest.fixture(autouse=True)
-def small_model(monkeypatch):
-    monkeypatch.setenv("PRISMA_DA_TARGET", "126")  # 9x9 ViT grid: fast compile
-
-
 def _run(folder, runtime):
-    return depth_anything_band.run(folder, encoder="vits", runtime=runtime)
+    # img_size=126 -> 9x9 ViT grid: fast compile
+    return depth_anything_band.run(folder, encoder="vits", img_size=126,
+                                   runtime=runtime)
 
 
 def _folder_bytes(folder):
@@ -83,9 +80,6 @@ def _folder_bytes(folder):
 
 
 def test_resume_byte_identical(tmp_path):
-    # NB: a private MonkeyPatch instance — the function-scoped `monkeypatch`
-    # fixture is shared with the autouse small_model fixture, so .undo() on it
-    # would also drop PRISMA_DA_TARGET and change the model resolution mid-test
     monkeypatch = pytest.MonkeyPatch()
     golden = _make_folder(tmp_path / "golden", frames=10, w=64, h=48)
     crashy = _clone_folder(golden, tmp_path, "crashy")

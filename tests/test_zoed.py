@@ -45,11 +45,11 @@ def test_zoed_band_image(tmp_path, monkeypatch):
     import cv2
     from prisma_tpu.bands import depth_zoedepth_band
     from prisma_tpu.runtime.config import RuntimeConfig
-    monkeypatch.setenv("PRISMA_ZOED_SIZE", "64,96")
     monkeypatch.setenv("PRISMA_ZOED_DEPTH", "4")
     img_path = str(tmp_path / "photo.png")
     cv2.imwrite(img_path, np.random.default_rng(0).integers(
         0, 255, (40, 56, 3)).astype(np.uint8))
-    io = depth_zoedepth_band.run(img_path, runtime=RuntimeConfig(
+    io = depth_zoedepth_band.run(img_path, img_size=(64, 96),
+                                 runtime=RuntimeConfig(
         random_weights=True, compute_dtype="float32"))
     assert cv2.imread(io.output).shape == (40, 56, 3)

@@ -138,7 +138,6 @@ def test_bins_head_layers_parity(ref_zoedepth):
 def test_metric_band_e2e(tmp_path, monkeypatch):
     """depth_anything band in metric mode (random weights, tiny zoe size)."""
     import cv2
-    monkeypatch.setenv("PRISMA_ZOE_SIZE", "126,126")
     from prisma_tpu.bands import depth_anything_band
     from prisma_tpu.runtime.config import RuntimeConfig
 
@@ -146,7 +145,7 @@ def test_metric_band_e2e(tmp_path, monkeypatch):
     rng = np.random.default_rng(0)
     cv2.imwrite(img_path, rng.integers(0, 255, (48, 72, 3)).astype(np.uint8))
     io = depth_anything_band.run(
-        img_path, metric="outdoor", encoder="vits",
+        img_path, metric="outdoor", encoder="vits", img_size=(126, 126),
         runtime=RuntimeConfig(random_weights=True, compute_dtype="float32"))
     out = cv2.imread(io.output)
     assert out.shape == (48, 72, 3)
