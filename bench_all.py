@@ -384,13 +384,14 @@ def bench_3band():
 
 def bench_e2e():
     """The north-star gauge: decode -> depth + flow + mask -> encode on a real
-    synthetic 1080p clip, through the actual band drivers (native codec IO,
-    prefetch, async encode). Reports end-to-end fps for the 3-band set."""
+    synthetic 1080p clip through the PRODUCTION fused single-decode pipeline
+    (bands/multiband.run_fused — what `process.py` runs by default when the
+    three bands are requested). Native codec IO, prefetch, async encode."""
     import shutil
     import tempfile
 
     import numpy as np
-    from prisma_tpu.bands import depth_anything_band, flow_gmflow_band, mask_band
+    from prisma_tpu.bands import multiband
     from prisma_tpu.io.video import VideoWriter
     from prisma_tpu.runtime.config import RuntimeConfig
 
@@ -400,50 +401,43 @@ def bench_e2e():
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (1080, 1920, 3)).astype(np.uint8)
 
-    def make_clip(name, n):
-        path = os.path.join(work, name)
+    def make_clip(sub, n):
+        os.makedirs(os.path.join(work, sub))
+        path = os.path.join(work, sub, "clip.mp4")
         wr = VideoWriter(1920, 1080, 24.0, filename=path)
         for i in range(n):
             wr.write(np.roll(base, i * 7, axis=1))
         wr.close()
         return path
 
-    clip = make_clip("clip.mp4", nframes)
-    warm = make_clip("warm.mp4", batch + 1)  # same step shapes as the main run
+    clip = make_clip("main", nframes)
+    warm = make_clip("warm", batch + 1)  # same step shapes as the main run
 
     runtime = RuntimeConfig(random_weights=True, batch_size=batch)
 
-    def run_all(src, tag):
-        ts = [time.perf_counter()]
-        mask_band.run(src, output=os.path.join(work, tag + "mask.mp4"),
-                      sdf=True, runtime=runtime)
-        ts.append(time.perf_counter())
-        depth_anything_band.run(src, output=os.path.join(work, tag + "depth.mp4"),
-                                encoder="vitl", runtime=runtime)
-        ts.append(time.perf_counter())
-        flow_gmflow_band.run(src, output=os.path.join(work, tag + "flow.mp4"),
-                             runtime=runtime)
-        ts.append(time.perf_counter())
-        return ts
+    def run_fused(src):
+        t0 = time.perf_counter()
+        multiband.run_fused(src, runtime, mask_on=True, mask_sdf=True,
+                            depth_band="depth_anything",
+                            depth_build={"encoder": "vitl"},
+                            flow_band="flow_gmflow")
+        return time.perf_counter() - t0
 
     # warm-up pass compiles every band step (and populates the persistent XLA
     # cache); the timed pass then measures the decode->device->encode pipeline
     # the way a long production video sees it: compile amortized away.
-    run_all(warm, "warm_")
-    t0, t1, t2, t3 = run_all(clip, "")
+    run_fused(warm)
+    dt = run_fused(clip)
     shutil.rmtree(work, ignore_errors=True)
 
-    fps = nframes / (t3 - t0)
-    sys.stderr.write(
-        f"[bench_e2e] mask {nframes / (t1 - t0):.2f} fps, "
-        f"depth {nframes / (t2 - t1):.2f} fps, "
-        f"flow {nframes / (t3 - t2):.2f} fps (steady-state)\n")
+    fps = nframes / dt
     return {"metric": "e2e_depth_flow_mask_1080p_fps_per_chip", "value": fps,
             "unit": "frames/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP,
-            "detail": {"mask_fps": nframes / (t1 - t0),
-                       "depth_fps": nframes / (t2 - t1),
-                       "flow_fps": nframes / (t3 - t2),
-                       "frames": nframes, "includes_compile": False}}
+            "note": "fused single-decode 3-band pipeline (multiband.run_fused"
+                    ", the process.py default); through the TUNNELED chip "
+                    "this is H2D/D2H-transfer-bound, not representative of "
+                    "local-chip IO",
+            "detail": {"frames": nframes, "includes_compile": False}}
 
 
 def bench_host_io():
@@ -520,17 +514,37 @@ def bench_host_io():
             w.close()
         pipe_fps[tag] = n / (time.perf_counter() - t0)
         rd.close()
+
+    # (d) segment-pool scaling curve: SegmentedVideoWriter with `workers`
+    # concurrent x264 instances per stream (io/video.py). On a 1-core host
+    # the curve is flat by construction; on N cores it is the lever that
+    # multiplies (b)/(c) toward the device rate.
+    from prisma_tpu.io.video import SegmentedVideoWriter
+    pool_fps = {}
+    for workers in (1, 2, 4):
+        wr = SegmentedVideoWriter(
+            1920, 1080, 24.0, segment_frames=12, preset="veryfast",
+            workers=workers,
+            filename=os.path.join(work, f"pool{workers}.mp4"))
+        t0 = time.perf_counter()
+        for f in frames:
+            wr.write(f)
+        wr.close()
+        pool_fps[workers] = nframes / (time.perf_counter() - t0)
     shutil.rmtree(work, ignore_errors=True)
 
     best = pipe_fps["veryfast"]
     need = 11.17 / best  # cores-equivalents to feed the measured device rate
+    curve = " / ".join(f"{w}w {v:.1f}" for w, v in pool_fps.items())
     return {"metric": "host_io_3band_fps", "value": best,
             "unit": "frames/s", "vs_baseline": best / NORTH_STAR_PER_CHIP,
             "note": f"decode {dec_fps:.1f} fps; 1-stream encode "
                     f"{enc_fps['medium']:.1f} fps medium-preset / "
                     f"{enc_fps['veryfast']:.1f} veryfast; decode+3x-encode "
                     f"{pipe_fps['medium']:.1f} medium / {best:.1f} veryfast "
-                    f"on {ncpu} host core(s); feeding 11.17 device fps needs "
+                    f"on {ncpu} host core(s); segment-pool encode fps "
+                    f"(veryfast, per stream): {curve} — scales with cores, "
+                    f"flat on 1; feeding 11.17 device fps needs "
                     f"~{need:.1f}x this host's cores at veryfast "
                     f"(fidelity-equivalent at crf 15, smaller files)"}
 

@@ -79,13 +79,14 @@ def make_step(params, infer: Callable, flip: bool, need_depth: bool,
 
     # multi-chip: replicate params, shard the frame batch over the data mesh
     # (XLA inserts the ICI collectives for the per-frame min/max reductions)
+    from prisma_tpu.parallel import batch_sharding, data_mesh_or_none, \
+        shard_params
     shard_batch = None
-    n_dev = len(jax.devices())
-    if n_dev > 1:
-        from prisma_tpu.parallel import batch_sharding, get_mesh, replicate
-        mesh = get_mesh()
-        params = jax.device_put(params, replicate(mesh))
+    mesh = data_mesh_or_none()
+    if mesh is not None:
+        params = shard_params(params, mesh)
         sharding = batch_sharding(mesh)
+        n_dev = mesh.devices.size
 
         def shard_batch(f):
             f = jnp.asarray(f)
@@ -106,13 +107,17 @@ def make_step(params, infer: Callable, flip: bool, need_depth: bool,
     return lambda frames, idx0=0: step(params, frames)
 
 
-def _resume_state(output: str, segment_frames: int):
+def _resume_state(output: str, segment_frames: int,
+                  start_override: int | None = None):
     """-> (start_frame, mins, maxs, ledger_file) for frame-index resume.
 
     The resume index is the contiguous run of complete mp4 segments from a
     previous interrupted run; per-frame min/max come back from the ledger CSV
     kept next to the segments. A ledger shorter than the segments (lost
     buffered lines) restarts from scratch — correctness over savings.
+    start_override caps the resume point (the fused multi-band pipeline
+    resumes every band at the MIN of the bands' completed segments, so one
+    shared reader position serves all sinks).
     """
     import shutil
 
@@ -121,6 +126,8 @@ def _resume_state(output: str, segment_frames: int):
     seg_dir = output + ".segments"
     ledger_path = os.path.join(seg_dir, "values.csv")
     start = SegmentedVideoWriter.completed_frames(output, segment_frames)
+    if start_override is not None:
+        start = min(start, start_override)
     mins: list[float] = []
     maxs: list[float] = []
     if start:
@@ -143,71 +150,108 @@ def _resume_state(output: str, segment_frames: int):
     return start, mins, maxs, open(ledger_path, "a")
 
 
+class DepthVideoSink:
+    """Host epilogue of a depth video band: segmented mp4 writer + fsynced
+    min/max ledger + per-frame PNG/NPY artifacts + final CSVs/metadata.
+
+    Shared verbatim by the sequential driver (run_video) and the fused
+    single-decode multi-band pipeline (bands/multiband.py), so the two paths
+    write byte-identical outputs by construction.
+    """
+
+    def __init__(self, io: BandIO, width: int, height: int, fps: float,
+                 flip: bool, npy: bool, start: int | None = None):
+        self.io = io
+        self.flip = flip
+        self.npy = npy
+        self.seg = getattr(io.runtime, "segment_frames", 0)
+        if self.seg:
+            from prisma_tpu.io.video import SegmentedVideoWriter
+            self.start, self.mins, self.maxs, self.ledger = \
+                _resume_state(io.output, self.seg, start)
+            self.writer = SegmentedVideoWriter(
+                width, height, fps, filename=io.output,
+                segment_frames=self.seg, start_frame=self.start,
+                preset=getattr(io.runtime, "x264_preset", None),
+                workers=io.runtime.resolve_encode_workers()
+                if hasattr(io.runtime, "resolve_encode_workers") else 1)
+        else:
+            self.writer = VideoWriter(
+                width, height, fps, filename=io.output,
+                preset=getattr(io.runtime, "x264_preset", None))
+            self.start, self.mins, self.maxs, self.ledger = 0, [], [], None
+        self.idx = self.start
+
+    def emit(self, out: dict, valid: int) -> None:
+        """Consume one device-step output dict (host numpy conversion here)."""
+        io, seg = self.io, self.seg
+        heat = np.asarray(out["heat"])
+        bmin = np.asarray(out["min"])
+        bmax = np.asarray(out["max"])
+        depth = np.asarray(out["depth"]) if "depth" in out else None
+        for b in range(valid):
+            idx = self.idx
+            self.mins.append(float(bmin[b]))
+            self.maxs.append(float(bmax[b]))
+            if self.ledger is not None:
+                # ledger rows hit disk BEFORE the segment-closing write below,
+                # so a complete segment always has its values on resume
+                self.ledger.write(f"{self.mins[-1]!r},{self.maxs[-1]!r}\n")
+                if (idx + 1) % seg == 0:
+                    self.ledger.flush()
+                    os.fsync(self.ledger.fileno())
+            # per-frame artifacts hit disk BEFORE the mp4 frame write: the
+            # segment-closing write marks the frame complete for resume, so
+            # everything belonging to the frame must already exist
+            if depth is not None:
+                if self.npy and io.subpath:
+                    np.save(os.path.join(io.subpath, f"{idx:05d}.npy"),
+                            depth[b])
+                if io.subpath:
+                    write_depth(os.path.join(io.subpath, f"{idx:05d}.png"),
+                                depth[b], normalize=True, flip=self.flip,
+                                heatmap=True, encode_range=True)
+            self.writer.write(heat[b])
+            self.idx += 1
+
+    def close(self) -> None:
+        io = self.io
+        if self.ledger is not None:
+            self.ledger.close()
+        self.writer.close()
+        write_csv(os.path.join(io.output_folder, io.band + "_min.csv"),
+                  self.mins)
+        write_csv(os.path.join(io.output_folder, io.band + "_max.csv"),
+                  self.maxs)
+        io.set_values_url({
+            "min": {"type": "float", "url": io.band + "_min.csv"},
+            "max": {"type": "float", "url": io.band + "_max.csv"},
+        })
+        io.finish()
+
+
 def run_video(io: BandIO, step: VideoStep, flip: bool,
               npy: bool = False) -> None:
     from prisma_tpu.runtime.profiling import StageProfiler
     prof = StageProfiler()
     reader = VideoReader(io.input)
-    seg = getattr(io.runtime, "segment_frames", 0)
-    if seg:
-        from prisma_tpu.io.video import SegmentedVideoWriter
-        start, mins, maxs, ledger = _resume_state(io.output, seg)
-        writer = SegmentedVideoWriter(reader.width, reader.height, reader.fps,
-                                      filename=io.output, segment_frames=seg,
-                                      start_frame=start)
-        reader.skip(start)
-    else:
-        writer = VideoWriter(reader.width, reader.height, reader.fps,
-                             filename=io.output)
-        start, mins, maxs, ledger = 0, [], [], None
-    need_depth = bool(io.subpath) or npy
+    sink = DepthVideoSink(io, reader.width, reader.height, reader.fps,
+                          flip=flip, npy=npy)
+    reader.skip(sink.start)
 
-    idx = start
     batch_size = io.runtime.batch_size
     prof.start_device_trace()
     for frames, valid in reader.batches(batch_size, pad_to_full=True):
         with prof.stage("device_step"):
-            out = step(frames, idx0=idx)
-            heat = np.asarray(out["heat"])
-        bmin = np.asarray(out["min"])
-        bmax = np.asarray(out["max"])
-        depth = np.asarray(out["depth"]) if need_depth else None
-        for b in range(valid):
-            mins.append(float(bmin[b]))
-            maxs.append(float(bmax[b]))
-            if ledger is not None:
-                # ledger rows hit disk BEFORE the segment-closing write below,
-                # so a complete segment always has its values on resume
-                ledger.write(f"{mins[-1]!r},{maxs[-1]!r}\n")
-                if (idx + 1) % seg == 0:
-                    ledger.flush()
-                    os.fsync(ledger.fileno())
-            # per-frame artifacts hit disk BEFORE the mp4 frame write: the
-            # segment-closing write marks the frame complete for resume, so
-            # everything belonging to the frame must already exist
-            if depth is not None:
-                if npy and io.subpath:
-                    np.save(os.path.join(io.subpath, f"{idx:05d}.npy"), depth[b])
-                if io.subpath:
-                    write_depth(os.path.join(io.subpath, f"{idx:05d}.png"),
-                                depth[b], normalize=True, flip=flip,
-                                heatmap=True, encode_range=True)
-            writer.write(heat[b])
-            idx += 1
-    if ledger is not None:
-        ledger.close()
-    writer.close()
+            out = step(frames, idx0=sink.idx)
+            out = dict(out)
+            out["heat"] = np.asarray(out["heat"])
+        sink.emit(out, valid)
+    n_done = sink.idx - sink.start
+    sink.close()
     reader.close()
     prof.stop_device_trace()
-    prof.report(items=idx - start)
-
-    write_csv(os.path.join(io.output_folder, io.band + "_min.csv"), mins)
-    write_csv(os.path.join(io.output_folder, io.band + "_max.csv"), maxs)
-    io.set_values_url({
-        "min": {"type": "float", "url": io.band + "_min.csv"},
-        "max": {"type": "float", "url": io.band + "_max.csv"},
-    })
-    io.finish()
+    prof.report(items=n_done)
 
 
 def run_image(io: BandIO, infer: ImageInfer, flip: bool,

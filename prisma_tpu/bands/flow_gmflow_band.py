@@ -20,21 +20,31 @@ from prisma_tpu.weights.store import load_gmflow
 BAND = "flow_gmflow"
 
 
-def run(input_path: str, output: str = "", subpath: str = "",
-        backwards: bool = False, mask: bool = False, subpath_mask: str = "",
-        scale: float = 0.75, inference_size=None,
-        cfg: jgm.GMFlowConfig | None = None,
-        runtime: RuntimeConfig | None = None) -> BandIO:
-    """inference_size: optional (h, w) — resize inputs to that size for
+def build_pairs(runtime: RuntimeConfig, inference_size=None,
+                cfg: jgm.GMFlowConfig | None = None):
+    """-> (lazy_params, infer_pairs), shared by run() and bands/multiband.py.
+
+    inference_size: optional (h, w) — resize inputs to that size for
     inference instead of padding to /16, then resize+rescale the flow back
     (reference flow_gmflow.py --inference_size). cfg selects the model
     variant (jgm.refine_config() for the 2-scale gmflow_with_refine)."""
-    runtime = runtime or RuntimeConfig()
     cfg = cfg or jgm.GMFlowConfig()
     params = lambda: load_gmflow(runtime, cfg)  # noqa: E731 — after resolve
     infer = functools.partial(jgm.infer_pairs, cfg=cfg)
     if inference_size is not None:
         infer = functools.partial(infer, inference_size=tuple(inference_size))
+    return params, infer
+
+
+def run(input_path: str, output: str = "", subpath: str = "",
+        backwards: bool = False, mask: bool = False, subpath_mask: str = "",
+        scale: float = 0.75, inference_size=None,
+        cfg: jgm.GMFlowConfig | None = None,
+        runtime: RuntimeConfig | None = None) -> BandIO:
+    """inference_size / cfg: see build_pairs."""
+    runtime = runtime or RuntimeConfig()
+    params, infer = build_pairs(runtime, inference_size=inference_size,
+                                cfg=cfg)
     return run_flow_band(BAND, input_path, params, infer,
                          output=output, subpath=subpath, backwards=backwards,
                          mask=mask, subpath_mask=subpath_mask, scale=scale,

@@ -57,7 +57,8 @@ def _make_step(params, ori_hw, cfg: solov2.SOLOv2Config, confidence: float,
         params = jax.device_put(params)
 
     def one(params, frame_u8):
-        img, img_hw = solov2.preprocess(frame_u8[None], dtype=dtype)
+        img, img_hw = solov2.preprocess(frame_u8[None], dtype=dtype,
+                                        scale=cfg.scale)
         out = solov2.forward(params, img, img_hw, ori_hw, cfg)
         keep = (out["valid"] & (out["scores"] > confidence)
                 & jnp.any(out["labels"][:, None] == class_ids[None, :], axis=1))
@@ -103,6 +104,52 @@ def _write_frame(masks_f64, green, writer_or_path, inverted_path=""):
         writer_or_path.write(frame)
 
 
+class MaskVideoSink:
+    """Host epilogue of the mask video band: segmented mp4 writer with
+    frame-index resume + inverted per-frame COLMAP PNGs.
+
+    Shared verbatim by the sequential driver (run) and the fused
+    single-decode multi-band pipeline (bands/multiband.py). Per-frame PNGs
+    are idempotent so only the mp4 needs the segment machinery.
+    """
+
+    def __init__(self, io: BandIO, width: int, height: int, fps: float,
+                 sdf: bool, start: int | None = None):
+        self.io = io
+        self.sdf = sdf
+        runtime = io.runtime
+        seg = getattr(runtime, "segment_frames", 0)
+        self.start = 0
+        preset = getattr(runtime, "x264_preset", None)
+        if seg:
+            from prisma_tpu.io.video import SegmentedVideoWriter
+            self.start = SegmentedVideoWriter.completed_frames(io.output, seg)
+            if start is not None:
+                self.start = min(self.start, start)
+            workers = runtime.resolve_encode_workers() \
+                if hasattr(runtime, "resolve_encode_workers") else 1
+            self.writer = SegmentedVideoWriter(
+                width, height, fps, filename=io.output, segment_frames=seg,
+                start_frame=self.start, preset=preset, workers=workers)
+        else:
+            self.writer = VideoWriter(width, height, fps, filename=io.output,
+                                      preset=preset)
+        self.idx = self.start
+
+    def emit(self, out: dict, valid: int) -> None:
+        comp = np.asarray(out["composite"])
+        green = np.asarray(out["green"]) if self.sdf else None
+        for b in range(valid):
+            inv = os.path.join(self.io.subpath, f"{self.idx:05d}.png") \
+                if self.io.subpath else ""
+            _write_frame(_composite_to_rgb(comp[b]),
+                         green[b] if self.sdf else None, self.writer, inv)
+            self.idx += 1
+
+    def close(self) -> None:
+        self.writer.close()
+
+
 def run(input_path: str, output: str = "", subpath: str = "",
         sdf: bool = True, confidence: float = CONFIDENCE_THRESHOLD,
         runtime: RuntimeConfig | None = None,
@@ -115,37 +162,15 @@ def run(input_path: str, output: str = "", subpath: str = "",
 
     if io.is_video():
         reader = VideoReader(io.input)
-        # frame-index resume (SURVEY §5): same segmented-writer scheme as the
-        # depth/flow bands; per-frame PNGs are idempotent so only the mp4
-        # needs the segment ledger
-        seg = getattr(runtime, "segment_frames", 0)
-        start = 0
-        if seg:
-            from prisma_tpu.io.video import SegmentedVideoWriter
-            start = SegmentedVideoWriter.completed_frames(io.output, seg)
-            writer = SegmentedVideoWriter(reader.width, reader.height,
-                                          reader.fps, filename=io.output,
-                                          segment_frames=seg,
-                                          start_frame=start)
-            reader.skip(start)
-        else:
-            writer = VideoWriter(reader.width, reader.height, reader.fps,
-                                 filename=io.output)
+        sink = MaskVideoSink(io, reader.width, reader.height, reader.fps,
+                             sdf=sdf)
+        reader.skip(sink.start)
         step = _make_step(params, (reader.height, reader.width), cfg,
                           confidence, sdf, dtype=runtime.resolve_dtype())
-        idx = start
         for frames, valid in reader.batches(runtime.batch_size,
                                             pad_to_full=True):
-            out = step(frames)
-            comp = np.asarray(out["composite"])
-            green = np.asarray(out["green"]) if sdf else None
-            for b in range(valid):
-                inv = os.path.join(io.subpath, f"{idx:05d}.png") \
-                    if io.subpath else ""
-                _write_frame(_composite_to_rgb(comp[b]),
-                             green[b] if sdf else None, writer, inv)
-                idx += 1
-        writer.close()
+            sink.emit(step(frames), valid)
+        sink.close()
         reader.close()
     else:
         frame = open_rgb(io.input)
@@ -156,6 +181,12 @@ def run(input_path: str, output: str = "", subpath: str = "",
         _write_frame(_composite_to_rgb(np.asarray(out["composite"])[0]),
                      green, io.output)
 
+    finish_meta(io, subpath)
+    return io
+
+
+def finish_meta(io: BandIO, subpath: str) -> None:
+    """Register the mask band entry (url + kept class ids) in metadata."""
     if io.data is not None:
         entry = io.data["bands"].setdefault(BAND, {})
         entry["url"] = os.path.basename(io.output)
@@ -163,7 +194,6 @@ def run(input_path: str, output: str = "", subpath: str = "",
         if subpath:
             entry["folder"] = subpath
     io.finish()
-    return io
 
 
 def main(argv=None):

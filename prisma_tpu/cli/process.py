@@ -117,12 +117,21 @@ def main(argv=None):
                         action="store_true")
     parser.add_argument("--encoder", help="depth_anything encoder size", type=str,
                         default="vitl", choices=["vits", "vitb", "vitl"])
+    parser.add_argument("--depth_size", type=int, nargs="+", default=None,
+                        help="depth-band inference budget override: one int "
+                             "(depth_anything relative target / midas "
+                             "upper-bound) or H W (metric zoe / zoedepth "
+                             "core size)")
     parser.add_argument("--segment_frames", type=int, default=64,
                         help="mp4 segment size for frame-index resume "
                              "(0 disables resume)")
     parser.add_argument("--force", "-F", action="store_true",
                         help="recompute bands whose output already exists "
                              "(without it a finished folder is a no-op)")
+    parser.add_argument("--sequential_bands", action="store_true",
+                        help="run bands one-by-one, re-decoding rgba.mp4 per "
+                             "band (the reference's architecture), instead "
+                             "of the fused single-decode pipeline")
     args = parser.parse_args(argv)
 
     runtime = RuntimeConfig(batch_size=args.batch, compute_dtype=args.dtype,
@@ -204,26 +213,74 @@ def main(argv=None):
     if args.extra > 2:
         args.npy = True
 
+    if args.depth is None:
+        args.depth = DEPTH_VIDEO_DEFAULT if video else DEPTH_IMAGE_DEFAULT
+    if args.flow is None:
+        args.flow = FLOW_DEFAULT
+
+    def depth_band_kwargs(band):
+        kw = {"npy": args.npy, "ply": args.ply}
+        if band == "depth_patchfusion" and video:
+            kw["mode"] = "p49"
+        if band == "depth_anything":
+            kw["metric"] = "outdoor"  # reference default EXTRA_ARGS (process.py:53)
+            kw["encoder"] = args.encoder
+            if args.depth_size:
+                kw["img_size"] = args.depth_size
+        if band == "depth_zoedepth" and args.depth_size:
+            kw["img_size"] = (args.depth_size * 2)[:2]
+        if band == "depth_midas" and args.depth_size:
+            kw["target"] = args.depth_size[0]
+        return kw
+
+    # fused single-decode pipeline: when a video asks for 2+ of
+    # {mask, fusable depth, flow}, decode rgba.mp4 once and run the band
+    # steps interleaved per batch (bands/multiband.py). The per-band
+    # sequential path below skips whatever ran here; outputs are identical.
+    fused: dict = {}
+    if video and not args.sequential_bands:
+        from prisma_tpu.bands import multiband
+        mask_on = args.mask != "none"
+        depth_cand = None
+        if args.depth != "none":
+            cand = DEPTH_VIDEO_DEFAULT if args.depth == "all" else args.depth
+            if cand in multiband.FUSED_DEPTH_BANDS:
+                depth_cand = cand
+        flow_cand = None
+        if args.flow != "none":
+            flow_cand = FLOW_DEFAULT if args.flow == "all" else args.flow
+        if int(mask_on) + (depth_cand is not None) + \
+                (flow_cand is not None) >= 2:
+            depth_build = {k: v for k, v in
+                           depth_band_kwargs(depth_cand or "").items()
+                           if k in ("metric", "encoder", "img_size", "target")}
+            fused = multiband.run_fused(
+                folder_name, runtime,
+                mask_on=mask_on, mask_sdf=True,
+                mask_subpath=SUBFOLDERS["mask_mmdet"],
+                depth_band=depth_cand, depth_build=depth_build,
+                depth_subpath=SUBFOLDERS[depth_cand]
+                if depth_cand and args.extra else "",
+                depth_npy=args.npy,
+                flow_band=flow_cand,
+                flow_backwards=args.flow_backwards, flow_mask=args.flow_mask,
+                flow_subpath=SUBFOLDERS[flow_cand]
+                if flow_cand and args.flo else "")
+
     # mask (reference runs it with --sdf, process.py:46-48,207)
-    if args.mask != "none":
+    if args.mask != "none" and "mask_mmdet" not in fused:
         run_band(args.mask, folder_name, runtime, subpath=True, sdf=True)
 
     # depth
-    if args.depth is None:
-        args.depth = DEPTH_VIDEO_DEFAULT if video else DEPTH_IMAGE_DEFAULT
-    depth_kwargs = {"npy": args.npy, "ply": args.ply}
-    ran_depth = {}
+    ran_depth = dict(fused)
     if args.depth != "none":
         bands = DEPTH_BANDS if args.depth == "all" else [args.depth]
         for band in bands:
-            kw = dict(depth_kwargs)
-            if band == "depth_patchfusion" and video:
-                kw["mode"] = "p49"
-            if band == "depth_anything":
-                kw["metric"] = "outdoor"  # reference default EXTRA_ARGS (process.py:53)
-                kw["encoder"] = args.encoder
+            if band in fused:
+                continue
             ran_depth[band] = run_band(band, folder_name, runtime,
-                                       subpath=bool(args.extra), **kw)
+                                       subpath=bool(args.extra),
+                                       **depth_band_kwargs(band))
         if args.rgbd is None:
             default = (DEPTH_VIDEO_DEFAULT if video else DEPTH_IMAGE_DEFAULT) \
                 if args.depth == "all" else args.depth
@@ -232,13 +289,12 @@ def main(argv=None):
 
     if video:
         # flow
-        if args.flow is None:
-            args.flow = FLOW_DEFAULT
         if args.flow != "none":
             flow_kwargs = {"backwards": args.flow_backwards, "mask": args.flow_mask}
             bands = FLOW_BANDS if args.flow == "all" else [args.flow]
-            ran = {b: run_band(b, folder_name, runtime, subpath=args.flo,
-                               **flow_kwargs) for b in bands}
+            ran = {b: fused[b] if b in fused else
+                   run_band(b, folder_name, runtime, subpath=args.flo,
+                            **flow_kwargs) for b in bands}
             default = FLOW_DEFAULT if args.flow == "all" else args.flow
             if ran.get(default):
                 meta.set_default_band(folder_name, "flow", default)

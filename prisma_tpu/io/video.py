@@ -347,12 +347,22 @@ class SegmentedVideoWriter:
     readable segments count), seeks the reader, and continues at the next
     segment — producing byte-identical output to an uninterrupted run, because
     the uninterrupted run writes the very same segments.
+
+    workers > 1 turns the segment structure into an encode POOL: a finished
+    segment's x264 flush/close runs on its own thread while the producer
+    streams frames into the next segment's writer, so up to `workers` x264
+    instances run concurrently. Each segment is encoded by its own encoder
+    instance from a fixed frame range, so the output bitstream is the same
+    bytes regardless of workers. Memory: a slow encoder can buffer up to one
+    whole segment of frames (segment_frames x H x W x 3 bytes, ~400 MB for 64
+    frames of 1080p) per in-flight segment.
     """
 
     def __init__(self, width: int, height: int, frame_rate: float,
                  filename: str, segment_frames: int = 64, crf: int = 15,
                  codec: str = "libx264", start_frame: int = 0,
-                 async_encode: bool = True):
+                 async_encode: bool = True, preset: str | None = None,
+                 workers: int = 1):
         if segment_frames <= 0:
             raise ValueError("segment_frames must be positive")
         if start_frame % segment_frames:
@@ -364,10 +374,14 @@ class SegmentedVideoWriter:
         self._fps = frame_rate
         self._crf = crf
         self._codec = codec
+        self._preset = preset
         self._async = async_encode
+        self._workers = max(1, int(workers))
         self._seg_idx = start_frame // segment_frames
         self._in_seg = 0
         self._writer: VideoWriter | None = None
+        self._closing: list[threading.Thread] = []
+        self._close_err: list[Exception] = []
         os.makedirs(self.seg_dir, exist_ok=True)
         # dimensions after the writer's cap/rounding, for callers
         probe = VideoWriter(width, height, frame_rate, crf=crf,
@@ -380,24 +394,54 @@ class SegmentedVideoWriter:
     def _seg_path(self, idx: int) -> str:
         return os.path.join(self.seg_dir, f"{idx:06d}.mp4")
 
+    def _finish_segment(self, writer: VideoWriter):
+        """Close a full segment; with a pool, on a background thread."""
+        if self._workers == 1:
+            writer.close()
+            return
+        if self._close_err:
+            raise self._close_err[0]
+
+        def closer():
+            try:
+                writer.close()
+            except Exception as e:  # surfaced on the next write()/close()
+                self._close_err.append(e)
+
+        t = threading.Thread(target=closer, daemon=True)
+        t.start()
+        self._closing.append(t)
+        # bound the pool: wait for the oldest flush once `workers` are in flight
+        while len(self._closing) >= self._workers:
+            self._closing.pop(0).join()
+
     def write(self, frame: np.ndarray, format: str | None = None):
         if self._writer is None:
+            # pool mode buffers the whole segment so a slow encoder never
+            # stalls the producer mid-segment
+            depth = self.segment_frames if self._workers > 1 else 8
             self._writer = VideoWriter(
                 self._wh[0], self._wh[1], self._fps, crf=self._crf,
                 filename=self._seg_path(self._seg_idx), codec=self._codec,
-                async_encode=self._async)
+                async_encode=self._async, preset=self._preset,
+                queue_depth=depth)
         self._writer.write(frame, format)
         self._in_seg += 1
         if self._in_seg == self.segment_frames:
-            self._writer.close()
-            self._writer = None
+            w, self._writer = self._writer, None
             self._seg_idx += 1
             self._in_seg = 0
+            self._finish_segment(w)
 
     def close(self):
         if self._writer is not None:
             self._writer.close()
             self._writer = None
+        for t in self._closing:
+            t.join()
+        self._closing = []
+        if self._close_err:
+            raise self._close_err[0]
         segs = [self._seg_path(i)
                 for i in range(self._seg_idx + (1 if self._in_seg else 0))]
         if segs:

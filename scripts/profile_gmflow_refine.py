@@ -32,7 +32,7 @@ def main():
     pairs = 4
     cfg = gm.refine_config()
     params = jax.device_put(cast_params(
-        gm.init_params(jax.random.key(2)), jnp.bfloat16))
+        gm.init_params(jax.random.key(2), cfg), jnp.bfloat16))
     rng = np.random.default_rng(0)
     h, w = 810, 1440
 

@@ -176,3 +176,33 @@ def test_preset_roundtrip(tmp_path, preset, monkeypatch):
         w.write(f)
     w.close()
     assert len(list(VideoReader(path2))) == 8
+
+
+def test_segment_pool_matches_serial(tmp_path):
+    """SegmentedVideoWriter with a worker pool (workers=3) produces the same
+    video as the serial writer: each segment is encoded by its own x264
+    instance from a fixed frame range, so parallelism cannot change content.
+    (mp4s compare by decoded content — the in-process x264 bitstream caveat
+    of tests/test_resume.py.)"""
+    from prisma_tpu.io.video import SegmentedVideoWriter
+
+    frames = _gradient_frames(14, 48, 64)  # 3 full segments + a 2-frame tail
+
+    def encode(name, workers):
+        path = str(tmp_path / name)
+        wr = SegmentedVideoWriter(64, 48, 24.0, filename=path,
+                                  segment_frames=4, workers=workers)
+        for f in frames:
+            wr.write(f)
+        wr.close()
+        r = VideoReader(path)
+        decoded = list(r)
+        n = r.num_frames
+        r.close()
+        return n, decoded
+
+    n1, serial = encode("serial.mp4", 1)
+    n3, pooled = encode("pooled.mp4", 3)
+    assert n1 == n3 == 14
+    for a, b in zip(serial, pooled):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
