@@ -247,23 +247,30 @@ def bench_patchfusion():
     img = np.random.default_rng(0).integers(
         0, 256, (1080, 1920, 3)).astype(np.uint8)
 
-    # warmup (compiles the tile passes)
-    pf.infer(params, img, mode="p49", compute_dtype=jnp.bfloat16)
+    # measure through the BAND frame loop (depth_patchfusion_band
+    # _infer_frames): frames stay device-resident (as_numpy=False), so frame
+    # k+1's passes dispatch while frame k computes — the production video
+    # pipeline. One fetch at the end forces completion.
+    from prisma_tpu.bands.depth_patchfusion_band import _infer_frames
+
+    def run(n):
+        frames = np.broadcast_to(img, (n,) + img.shape)
+        out = _infer_frames(params, frames, mode="p49", model_hw=(384, 512),
+                            dtype=jnp.bfloat16)
+        float(jnp.sum(out.ravel()[:1]))
+
+    run(1)  # compile
+    iters = 3
     t0 = time.perf_counter()
-    iters = 2
-    for _ in range(iters):
-        pf.infer(params, img, mode="p49", compute_dtype=jnp.bfloat16)
+    run(iters)
     dt = (time.perf_counter() - t0) / iters
     return {"metric": "depth_patchfusion_p49_1080p_s_per_frame", "value": dt,
             "unit": "s/frame", "vs_baseline": None,
-            "note": "round-4: roi_align as closed-form separable MXU matmuls "
-                    "(gather form was 103+19 ms/sub-batch, matmul 1.9 ms), "
-                    "the 2160x3840 coarse-depth upsample folded into the roi "
-                    "weights, and each pass fused into ONE jit (sub-batch "
-                    "lax.scan inside) so a p49 frame is coarse + 4 dispatches "
-                    "instead of ~26 tunnel RTTs; was 6.39 (r3), 38.8 (r2). "
-                    "Quiet-box reading ~4.6; concurrent host load adds up to "
-                    "~1s of RTT noise"}
+            "note": "band frame loop, frames pipelined device-resident "
+                    "(round-5: per-frame fetch + per-frame blur upload "
+                    "removed); round-4: roi_align as separable MXU matmuls "
+                    "with the coarse upsample folded into the roi weights, "
+                    "each pass ONE jit — was 4.58 (r4), 6.39 (r3), 38.8 (r2)"}
 
 
 def bench_marigold():

@@ -27,14 +27,16 @@ def _infer_frames(params, frames_u8, idx0=0, *, mode, model_hw, dtype,
     """Host loop over frames (each frame runs the jitted tile passes).
 
     idx0 (global frame index, depth_base non-fused contract) is unused:
-    PatchFusion is deterministic per frame."""
+    PatchFusion is deterministic per frame. as_numpy=False keeps every
+    frame's result device-resident so frame k+1's passes dispatch while
+    frame k computes — no per-frame fetch round trip."""
     outs = []
     for f in np.asarray(frames_u8):
         # u8 straight to device; pf.infer normalizes there (4x less H2D)
         outs.append(pf.infer(params, f, mode=mode,
                              compute_dtype=dtype, model_hw=model_hw,
-                             tile_batch=tile_batch))
-    return jnp.asarray(np.stack(outs))
+                             tile_batch=tile_batch, as_numpy=False))
+    return jnp.stack(outs)
 
 
 def run(input_path: str, output: str = "", subpath: str = "",

@@ -46,7 +46,13 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # beats the dense path 2x at the 4590-token 1080p windows (1.53 vs 3.1 ms per
 # attention call); below ~4k tokens the dense scores fit comfortably and XLA
 # fusion wins on dispatch simplicity.
-_FLASH_MIN_WINDOW_TOKENS = 4096
+# windows at or above this many tokens run the Pallas flash kernel on TPU.
+# Measured points: 4590-token scale-0 windows 1.53 vs 3.1 ms dense; REFINE
+# scale-1 1170-token windows (single-block kernel, [1024, 1170, 128]) 9.97 vs
+# 15.3 ms dense unshifted and 11.1 vs ~33 ms dense shifted
+# (scripts/ab_refine_flash_blocks.py). Below ~1k tokens dense wins (the
+# 256-block grid overhead exceeds the score-materialization cost).
+_FLASH_MIN_WINDOW_TOKENS = 1024
 
 
 @dataclass(frozen=True)
@@ -484,20 +490,50 @@ def _layer_norm(p, x, eps=1e-5):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _fused_proj(p, parts):
+    """q/k/v projections fused into one matmul over shared inputs
+    (bit-identical: each output column is an independent dot; parity tests
+    cover both layer kinds) — one pass over the activations instead of
+    three, and a 3x-wider MXU tile."""
+    f = {"w": jnp.concatenate([p[n]["w"] for n in parts], axis=1)}
+    if "b" in p[parts[0]]:  # torch GMFlow projections are bias-free
+        f["b"] = jnp.concatenate([p[n]["b"] for n in parts])
+    return f
+
+
+def _sublayer_windowed(p, sw, tw, B, ids, no_ffn, precision=None,
+                       impl: str = "xla", bands_ww=None):
+    """One attention sublayer over ALREADY-WINDOWED tokens
+    [B*ns*ns, win, C] (tw is sw for self-attention). Every op is per-token,
+    so running the residual/norm/ffn in window layout and merging once per
+    LAYER (transformer_forward) is bit-identical to the flat form — it
+    removes the redundant merge->split permutation between the self and
+    cross sublayers (two full passes over the [2B, L, C] activation per
+    layer at the refine shape)."""
+    C = sw.shape[-1]
+    if tw is sw:
+        qkv = pnn.linear(_fused_proj(p, ("q", "k", "v")), sw,
+                         precision=precision)
+        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    else:
+        q = pnn.linear(p["q"], sw, precision=precision)
+        kv = pnn.linear(_fused_proj(p, ("k", "v")), tw, precision=precision)
+        k, v = kv[..., :C], kv[..., C:]
+    out = _window_attention_core(q, k, v, B, ids, precision, impl, bands_ww)
+    message = _layer_norm(p["norm1"], pnn.linear(p["merge"], out,
+                                                 precision=precision))
+    if not no_ffn:
+        y = jnp.concatenate([sw, message], axis=-1)
+        y = pnn.linear(p["mlp2"], pnn.gelu(pnn.linear(p["mlp1"], y,
+                                                      precision=precision)),
+                       precision=precision)
+        message = _layer_norm(p["norm2"], y)
+    return sw + message
+
+
 def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
                        precision=None, impl: str = "xla"):
-    # q/k/v projections fused into one matmul over shared inputs
-    # (bit-identical: each output column is an independent dot; parity tests
-    # cover both layer kinds) — one pass over the [2B, L, C] activations for
-    # self-attention instead of three, and a 3x-wider MXU tile
     C = source.shape[-1]
-
-    def fused(parts):
-        f = {"w": jnp.concatenate([p[n]["w"] for n in parts], axis=1)}
-        if "b" in p[parts[0]]:  # torch GMFlow projections are bias-free;
-            f["b"] = jnp.concatenate([p[n]["b"] for n in parts])
-        return f
-
     if ns > 1:
         # window tokens BEFORE projecting: the linear commutes with the
         # token permutation exactly, so the roll+split transpose chain runs
@@ -505,29 +541,22 @@ def _transformer_layer(p, source, target, h, w, ns, ids, no_ffn,
         B = source.shape[0]
         shifted = ids is not None
         sw = _win_split(source, h, w, ns, shifted)
-        if source is target:
-            qkv = pnn.linear(fused(("q", "k", "v")), sw, precision=precision)
-            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-        else:
-            tw = _win_split(target, h, w, ns, shifted)
-            q = pnn.linear(p["q"], sw, precision=precision)
-            kv = pnn.linear(fused(("k", "v")), tw, precision=precision)
-            k, v = kv[..., :C], kv[..., C:]
+        tw = sw if source is target else _win_split(target, h, w, ns, shifted)
         bands_ww = (shift_window_region_bands(h, w, ns), w // ns) if shifted \
             else None
-        out = _window_attention_core(q, k, v, B, ids, precision, impl,
-                                     bands_ww)
-        message = _win_merge(out, B, h, w, ns, shifted)
+        out = _sublayer_windowed(p, sw, tw, B, ids, no_ffn, precision, impl,
+                                 bands_ww)
+        return _win_merge(out, B, h, w, ns, shifted)
+    if source is target:
+        qkv = pnn.linear(_fused_proj(p, ("q", "k", "v")), source,
+                         precision=precision)
+        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
     else:
-        if source is target:
-            qkv = pnn.linear(fused(("q", "k", "v")), source,
-                             precision=precision)
-            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-        else:
-            q = pnn.linear(p["q"], source, precision=precision)
-            kv = pnn.linear(fused(("k", "v")), target, precision=precision)
-            k, v = kv[..., :C], kv[..., C:]
-        message = _full_attention(q, k, v, precision)
+        q = pnn.linear(p["q"], source, precision=precision)
+        kv = pnn.linear(_fused_proj(p, ("k", "v")), target,
+                        precision=precision)
+        k, v = kv[..., :C], kv[..., C:]
+    message = _full_attention(q, k, v, precision)
     message = _layer_norm(p["norm1"], pnn.linear(p["merge"], message,
                                                  precision=precision))
     if not no_ffn:
@@ -559,15 +588,28 @@ def transformer_forward(params, feature0, feature1, attn_splits: int,
 
     concat0 = jnp.concatenate([f0, f1], axis=0)
     concat1 = jnp.concatenate([f1, f0], axis=0)
+    ns = attn_splits
     for i, bp in enumerate(params["layers"]):
         shifted = i % 2 == 1
-        m = ids if (shifted and attn_splits > 1) else None
-        concat0 = _transformer_layer(bp["self"], concat0, concat0, H, W,
-                                     attn_splits, m, True, precision,
-                                     attn_impl)
-        concat0 = _transformer_layer(bp["cross"], concat0, concat1, H, W,
-                                     attn_splits, m, False, precision,
-                                     attn_impl)
+        m = ids if (shifted and ns > 1) else None
+        if ns > 1:
+            # self + cross share the window layout (same shift parity):
+            # split once, run both sublayers windowed, merge once
+            B2 = concat0.shape[0]
+            bands_ww = (shift_window_region_bands(H, W, ns), W // ns) \
+                if shifted else None
+            sw = _win_split(concat0, H, W, ns, shifted)
+            tw = _win_split(concat1, H, W, ns, shifted)
+            sw = _sublayer_windowed(bp["self"], sw, sw, B2, m, True,
+                                    precision, attn_impl, bands_ww)
+            sw = _sublayer_windowed(bp["cross"], sw, tw, B2, m, False,
+                                    precision, attn_impl, bands_ww)
+            concat0 = _win_merge(sw, B2, H, W, ns, shifted)
+        else:
+            concat0 = _transformer_layer(bp["self"], concat0, concat0, H, W,
+                                         ns, m, True, precision, attn_impl)
+            concat0 = _transformer_layer(bp["cross"], concat0, concat1, H, W,
+                                         ns, m, False, precision, attn_impl)
         half = concat0.shape[0] // 2
         concat1 = jnp.concatenate([concat0[half:], concat0[:half]], axis=0)
     half = concat0.shape[0] // 2
@@ -751,6 +793,53 @@ def local_correlation_softmax(feature0, feature1, radius: int,
     return flow.astype(feature0.dtype)
 
 
+def local_correlation_softmax_mm(feature0, feature1, radius: int,
+                                 precision=None):
+    """MXU form of local_correlation_softmax — same math, banded matmuls.
+
+    Per row offset dy, the (2r+1) x-taps of every pixel live in a ±r band of
+    the full row-correlation matrix  M = f0_row @ f1p_rowᵀ  [W, W+2r].
+    Computing M on the MXU and extracting the band with a constant one-hot
+    contraction replaces the taps form's (2r+1)² full passes over feature0
+    (VPU elementwise dots, ~25 ms at the refine shape) with 2r+1 batched
+    matmuls (~60 GFLOP total). Accumulations are MXU f32 instead of the VPU
+    reduce — equivalent within bf16 ulps, not bit-identical; the parity path
+    (explicit precision) keeps the taps form.
+    """
+    B, H, W, C = feature0.shape
+    r = radius
+    n = 2 * r + 1
+    scale = 1.0 / (C ** 0.5)
+    f1p = jnp.pad(feature1, ((0, 0), (r, r), (r, r), (0, 0)))
+    # band one-hot: oh[w, j, dxi] = 1 iff j == w + dxi  (j indexes the padded
+    # row, dxi = dx + r; dx fast in the output, matching window_grid order)
+    j = np.arange(W + 2 * r)
+    oh = (j[None, :, None] == (np.arange(W)[:, None, None]
+                               + np.arange(n)[None, None, :]))
+    oh = jnp.asarray(oh, feature0.dtype)
+    per_dy = []
+    for dy in range(-r, r + 1):
+        rows = jax.lax.slice(f1p, (0, r + dy, 0, 0),
+                             (B, r + dy + H, W + 2 * r, C))
+        m = jnp.einsum("bhwc,bhjc->bhwj", feature0, rows,
+                       precision=precision)
+        per_dy.append(jnp.einsum("bhwj,wjd->bhwd", m, oh,
+                                 precision=precision))
+    corr = jnp.concatenate(per_dy, axis=-1) * scale   # [B, H, W, n*n]
+    gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox = jnp.tile(offs, n)
+    oy = jnp.repeat(offs, n)
+    valid = ((gx[None, :, :, None] + ox >= 0) & (gx[None, :, :, None] + ox < W)
+             & (gy[None, :, :, None] + oy >= 0)
+             & (gy[None, :, :, None] + oy < H))
+    corr = jnp.where(valid, corr, jnp.asarray(-1e9, corr.dtype))
+    prob = jax.nn.softmax(corr.astype(jnp.float32), axis=-1)
+    flow = jnp.stack([jnp.sum(prob * ox, -1), jnp.sum(prob * oy, -1)], -1)
+    return flow.astype(feature0.dtype)
+
+
 def _flow_warp(feature, flow):
     """Warp feature [B, H, W, C] by flow (bilinear, zeros outside; reference
     geometry.py flow_warp: grid_sample align_corners=True, padding zeros)."""
@@ -885,8 +974,13 @@ def forward(params, img0, img1, cfg: GMFlowConfig = GMFlowConfig(),
                 flow_pred = global_correlation_softmax(
                     feature0, feature1, pred_bidir and si == 0, precision)
         else:
-            flow_pred = local_correlation_softmax(
-                feature0, feature1, corr_radius_l[si], precision)
+            # production (precision=None): banded-MXU form, 20.7 vs 25.4 ms
+            # at the refine shape; parity paths keep the taps form (exact
+            # VPU-reduce accumulation the oracle comparison expects)
+            corr_fn = local_correlation_softmax_mm if precision is None \
+                else local_correlation_softmax
+            flow_pred = corr_fn(feature0, feature1, corr_radius_l[si],
+                                precision)
         flow = flow + flow_pred if flow is not None else flow_pred
 
         if pred_bidir and si == 0:

@@ -456,6 +456,14 @@ def generate_blur_mask(size) -> np.ndarray:
     return mask.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_mask_dev(crop):
+    """Device-resident blur+eps constant — computed/uploaded once per crop
+    size, not per frame (the per-frame GaussianBlur + 2 MB H2D was pure
+    overhead on the video path)."""
+    return jnp.asarray(generate_blur_mask(crop) + 1e-3)
+
+
 def pick_resolution(h: int, w: int):
     """Resolution ladder (depth_patchfusion.py:80-88)."""
     if h <= 480 and w <= 640:
@@ -670,13 +678,19 @@ def _tile_runner(compute_dtype, model_hw, precision):
 
 def infer(params, image_float, mode: str = "p16", precision=None,
           compute_dtype=jnp.float32, model_hw=MODEL_HW,
-          tile_batch: int | None = None, fused: bool | None = None):
+          tile_batch: int | None = None, fused: bool | None = None,
+          as_numpy: bool = True):
     """Full PatchFusion inference on one image [H, W, 3] float in [0,1].
 
     Returns depth [H, W] float32 at the input resolution. On a multi-chip
     mesh each pass's tile batch is edge-padded to the mesh size and sharded
     over the `data` axis (SURVEY.md §2.10: tiles across chips); the coarse
     cache and params ride replicated.
+
+    as_numpy=False returns the DEVICE array without blocking: the video band
+    dispatches the next frame's passes while this frame still computes
+    (every per-frame fetch through the tunnel otherwise serializes the
+    pipeline on a full round trip).
     """
     from prisma_tpu.parallel import (data_mesh_or_none, replicate,
                                      shard_batch_padded)
@@ -698,7 +712,7 @@ def infer(params, image_float, mode: str = "p16", precision=None,
     img_lr = resize2d(img_t[None], model_hw, method="linear",
                       align_corners=True)
 
-    blur = jnp.asarray(generate_blur_mask(crop) + 1e-3)
+    blur = _blur_mask_dev(tuple(crop))
     mesh = data_mesh_or_none()
     run_coarse, run_tiles = _tile_runner(compute_dtype, tuple(model_hw),
                                          precision)
@@ -802,9 +816,9 @@ def infer(params, image_float, mode: str = "p16", precision=None,
                                        blur)
 
     depth = avg_map / count_map
-    out = np.asarray(resize2d(depth[None, :, :, None], (H, W),
-                              method="linear"))[0, :, :, 0]
-    return out
+    out = resize2d(depth[None, :, :, None], (H, W),
+                   method="linear")[0, :, :, 0]
+    return np.asarray(out) if as_numpy else out
 
 
 # ---------------------------------------------------------------------------

@@ -187,10 +187,18 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
     of nwin with the window axis FASTER than batch (as _win_split lays out).
     """
     B, N, d = q.shape
+    npad256 = -(-N // 256) * 256
     if block_q is None:
-        block_q = 512 if N >= 2048 else DEFAULT_BLOCK_Q
+        # short rows: ONE block covering the whole (padded) row — the
+        # per-grid-step fixed cost (~2 us on v5e) dominates small tiles
+        # (GMFlow refine 1170-token windows: 5x256-row grid 18.7 ms vs one
+        # 1280-row block 9.97 ms vs dense XLA 15.3 ms at [1024, 1170, 128]);
+        # long rows: 512 tiles (measured best at the 4590/2443-token shapes)
+        block_q = npad256 if npad256 <= 1536 else \
+            (512 if N >= 2048 else DEFAULT_BLOCK_Q)
     if block_k is None:
-        block_k = 512 if N >= 2048 else DEFAULT_BLOCK_K
+        block_k = npad256 if npad256 <= 1536 else \
+            (512 if N >= 2048 else DEFAULT_BLOCK_K)
     scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
     if ids is not None:

@@ -191,3 +191,15 @@ def test_gmflow_refine_blockwise_matches_dense(bidir):
         params, img0, img1, jgm.refine_config(matching="blockwise", key_chunk=41),
         pred_bidir=bidir, precision="highest"))
     np.testing.assert_allclose(block, dense, atol=1e-3)
+
+
+def test_local_correlation_mm_matches_taps():
+    """The banded-MXU local correlation (production path at precision=None)
+    agrees with the taps form — same math, different accumulation order."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.normal(size=(2, 24, 36, 32)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(2, 24, 36, 32)).astype(np.float32))
+    taps = np.asarray(jgm.local_correlation_softmax(f0, f1, 4))
+    mm = np.asarray(jgm.local_correlation_softmax_mm(f0, f1, 4))
+    np.testing.assert_allclose(mm, taps, atol=2e-5)
