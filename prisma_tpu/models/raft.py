@@ -596,26 +596,59 @@ def _sep_conv_gru(p, h, x, precision=None):
 
 
 def _motion_encoder_fused(p, flow, corr, precision=None):
-    """Motion encoder with consolidated convs — bit-identical outputs.
+    """Motion encoder in THREE device ops — bit-identical outputs.
 
     Same math as _motion_encoder in fewer, wider device ops (measured on v5e:
-    each in-scan conv carries ~0.3 ms of fixed cost regardless of FLOPs):
-    - convf1 (7x7 over the 2-channel flow) runs as one im2col matmul: a
-      2-input-channel conv is layout-bound on TPU (0.33 ms/iter for
-      1.8 GFLOP); the 49 shifted slices fuse into the dot's operand.
+    each in-scan conv carries ~0.3-0.8 ms of fixed cost regardless of FLOPs —
+    profile_raft_update round-5: convc1 0.49, convf1 0.41, convc2 0.78,
+    convf2 0.42, conv 0.55 ms/iter):
+    - convc1 (1x1 324->256 on corr) and convf1 (7x7 over the 2-channel flow,
+      as a 98-column im2col) contract over DISJOINT inputs, so they run as
+      ONE block-diagonal matmul over [corr | flow_cols]: the zero blocks
+      contribute exact zeros to the f32 accumulation and the [cor|flo]
+      output channel layout is exactly what the next conv expects.
     - convc2 (3x3 256->192 on cor) and convf2 (3x3 128->64 on flo) share
-      geometry, so they run as ONE block-diagonal 3x3 conv over the concat;
-      the zero off-diagonal blocks contribute exact zeros to the f32
-      accumulation, and the [cor2|flo2] output channel layout is exactly the
-      concat the final conv expects (update.py:16-26).
+      geometry, so they run as ONE block-diagonal 3x3 conv over the concat
+      (update.py:16-26).
     """
-    cor = _relu(pnn.conv2d(p["convc1"], corr, precision=precision))
     B, H, W, _ = flow.shape
     fp = jnp.pad(flow, ((0, 0), (3, 3), (3, 3), (0, 0)))
     cols = jnp.concatenate([fp[:, i:i + H, j:j + W] for i in range(7)
                             for j in range(7)], axis=-1)
-    wf1 = p["convf1"]["w"].reshape(-1, p["convf1"]["w"].shape[-1])
-    flo = _relu(jnp.dot(cols, wf1, precision=precision) + p["convf1"]["b"])
+    wc1 = p["convc1"]["w"].reshape(-1, p["convc1"]["w"].shape[-1])  # 324x256
+    wf1 = p["convf1"]["w"].reshape(-1, p["convf1"]["w"].shape[-1])  # 98x128
+    w1 = jnp.concatenate([
+        jnp.concatenate([wc1, jnp.zeros((wc1.shape[0], wf1.shape[1]),
+                                        wc1.dtype)], axis=1),
+        jnp.concatenate([jnp.zeros((wf1.shape[0], wc1.shape[1]),
+                                   wf1.dtype), wf1], axis=1)], axis=0)
+    b1 = jnp.concatenate([p["convc1"]["b"], p["convf1"]["b"]])
+    z = jnp.concatenate([corr, cols], axis=-1)
+    corflo = _relu(jnp.dot(z, w1, precision=precision) + b1)
+    wc2, wf2 = p["convc2"]["w"], p["convf2"]["w"]
+    cc, co = wc2.shape[2], wc2.shape[3]
+    fc, fo = wf2.shape[2], wf2.shape[3]
+    w_bd = jnp.concatenate([
+        jnp.concatenate([wc2, jnp.zeros(wc2.shape[:2] + (cc, fo),
+                                        wc2.dtype)], -1),
+        jnp.concatenate([jnp.zeros(wf2.shape[:2] + (fc, co), wf2.dtype),
+                         wf2], -1)], axis=2)
+    b_bd = jnp.concatenate([p["convc2"]["b"], p["convf2"]["b"]])
+    cf = _relu(pnn.conv2d({"w": w_bd, "b": b_bd}, corflo, padding=1,
+                          precision=precision))
+    out = _relu(pnn.conv2d(p["conv"], cf, padding=1, precision=precision))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def _motion_encoder_bd(p, flow, corr, precision=None):
+    """Motion encoder with ONLY the geometry-sharing convc2+convf2 fused as a
+    block-diagonal 3x3 conv (4 device convs instead of 5) — convc1/convf1
+    stay real convs: the im2col/concat forms (_motion_encoder_fused)
+    measured 7.0 vs 4.0 ms/iter for the whole update block (ab_raft_gru
+    round-5) because the 49-slice cols concat costs more than the conv it
+    replaces. Bit-identical: zero off-blocks add exact zeros in f32."""
+    cor = _relu(pnn.conv2d(p["convc1"], corr, precision=precision))
+    flo = _relu(pnn.conv2d(p["convf1"], flow, padding=3, precision=precision))
     wc2, wf2 = p["convc2"]["w"], p["convf2"]["w"]
     cc, co = wc2.shape[2], wc2.shape[3]
     fc, fo = wf2.shape[2], wf2.shape[3]
@@ -804,7 +837,7 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
     cnet = encoder_forward(params["cnet"], img1, "affine", precision)
     net = jnp.tanh(cnet[..., :cfg.hidden_dim])
     inp = _relu(cnet[..., cfg.hidden_dim:])
-    if gru_impl == "fused":
+    if gru_impl in ("fused", "fused_me3", "fused_bd"):
         # loop-invariant context contraction, hoisted out of the scan
         gru_prep = _gru_fused_prepare(params["update"]["gru"], inp,
                                       cfg.hidden_dim, precision)
@@ -834,11 +867,12 @@ def forward(params, image1, image2, cfg: RAFTConfig = RAFTConfig(),
                                        "volume_onehot_packed": "packed"}.get(
                                            corr_impl, False))
         flow = coords1 - coords0
-        me = _motion_encoder_fused if gru_impl == "fused2" \
-            else _motion_encoder
+        me = {"fused2": _motion_encoder_fused,
+              "fused_me3": _motion_encoder_fused,
+              "fused_bd": _motion_encoder_bd}.get(gru_impl, _motion_encoder)
         motion = me(params["update"]["encoder"], flow.astype(dtype),
                     corr.astype(dtype), precision)
-        if gru_impl == "fused":
+        if gru_impl in ("fused", "fused_me3", "fused_bd"):
             net = _sep_conv_gru_fused(gru_prep, net, motion, precision)
         elif gru_impl == "fused2":
             net = _sep_conv_gru_fused2(gru_prep, net, motion, precision)

@@ -59,7 +59,7 @@ def main():
     def gru_scan(impl):
         @jax.jit
         def run(p, net0, inp, c0):
-            if impl == "fused":
+            if impl in ("fused", "fused_me3", "fused_bd"):
                 prep = jraft._gru_fused_prepare(p["update"]["gru"], inp,
                                                 cfg.hidden_dim)
             elif impl == "fused2":
@@ -72,10 +72,12 @@ def main():
                     jnp.mean(net, -1, keepdims=True).astype(dtype),
                     net.shape[:3] + (n_corr,))
                 flow = (coords1 - c0).astype(dtype)
-                me = jraft._motion_encoder_fused if impl == "fused2" \
-                    else jraft._motion_encoder
+                me = {"fused2": jraft._motion_encoder_fused,
+                      "fused_me3": jraft._motion_encoder_fused,
+                      "fused_bd": jraft._motion_encoder_bd}.get(
+                          impl, jraft._motion_encoder)
                 motion = me(p["update"]["encoder"], flow, corr)
-                if impl == "fused":
+                if impl in ("fused", "fused_me3", "fused_bd"):
                     net = jraft._sep_conv_gru_fused(prep, net, motion)
                 elif impl == "fused2":
                     net = jraft._sep_conv_gru_fused2(prep, net, motion)
@@ -90,14 +92,14 @@ def main():
             return c1
         return run
 
-    for impl in ("reference", "fused", "fused2"):
+    for impl in ("reference", "fused", "fused_bd", "fused_me3", "fused2"):
         t = timeit(gru_scan(impl), params, net0, inp, c0)
         print(f"20x update block [{impl}]: {t*1e3:.0f} ms "
               f"({t/cfg.iters*1e3:.2f} ms/iter)")
 
     # --- full model ---------------------------------------------------------
     outs = {}
-    for impl in ("reference", "fused", "fused2"):
+    for impl in ("reference", "fused", "fused_bd"):
         fn = jax.jit(lambda p, a, b, impl=impl: jraft.infer_pairs(
             p, a, b, corr_impl="volume_onehot", gru_impl=impl))
         t = timeit(fn, params, img1, img2)
@@ -106,6 +108,8 @@ def main():
               f"=> {B/t:.2f} pair-fps")
     d = np.abs(outs["reference"] - outs["fused"]).max()
     print(f"max |fwd flow diff| reference vs fused (bf16): {d:.4f}")
+    d3 = np.abs(outs["fused"] - outs["fused_bd"]).max()
+    print(f"max |fwd flow diff| fused vs fused_bd (bf16): {d3:.4f}")
 
 
 if __name__ == "__main__":

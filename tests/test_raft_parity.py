@@ -199,3 +199,25 @@ def test_onehot_packed_bit_identical():
     a = jraft.corr_lookup(pyr, coords, 4, onehot=True)
     b = jraft.corr_lookup(pyr, coords, 4, onehot="packed")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gru_impl_variants_agree():
+    """forward() with gru_impl reference / fused / fused_me3 agrees on f32:
+    the fused forms only re-associate accumulations (split context/motion
+    contractions; block-diagonal motion-encoder matmuls with exact-zero
+    off-blocks)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = jraft.RAFTConfig()
+    params = jraft.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    i1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    outs = {}
+    for impl in ("reference", "fused", "fused_me3"):
+        _low, up = jraft.forward(params, i1, i2, cfg, iters=4,
+                                 corr_impl="volume", gru_impl=impl)
+        outs[impl] = np.asarray(up, np.float32)
+    np.testing.assert_allclose(outs["fused"], outs["reference"], atol=1e-3)
+    np.testing.assert_allclose(outs["fused_me3"], outs["reference"],
+                               atol=1e-3)
