@@ -550,8 +550,10 @@ def bench_host_io():
                     f"{enc_fps['veryfast']:.1f} veryfast; decode+3x-encode "
                     f"{pipe_fps['medium']:.1f} medium / {best:.1f} veryfast "
                     f"on {ncpu} host core(s); segment-pool encode fps "
-                    f"(veryfast, per stream): {curve} — scales with cores, "
-                    f"flat on 1; feeding 11.17 device fps needs "
+                    f"(veryfast, per stream): {curve} — needs cores to "
+                    f"scale; oversubscribing workers on too few cores "
+                    f"DEGRADES (hence the auto default of cores//2); "
+                    f"feeding 11.17 device fps needs "
                     f"~{need:.1f}x this host's cores at veryfast "
                     f"(fidelity-equivalent at crf 15, smaller files)"}
 
