@@ -149,7 +149,12 @@ def bench_flow_raft():
     i2 = jax.device_put(rng.uniform(0, 255, (pairs, h, w, 3)).astype(np.float32))
     fps = _device_bench(step, (params, i1, i2), 3, pairs)
     return {"metric": "flow_raft_810x1440_bidir_pair_fps", "value": fps,
-            "unit": "pairs/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP}
+            "unit": "pairs/s/chip", "vs_baseline": fps / NORTH_STAR_PER_CHIP,
+            "note": "volume_onehot corr lookup; CLOSED after rounds 3-5 "
+                    "(docs/raft_roofline.md): lookup at 83% of its HBM "
+                    "roofline, GRU at its ~2 ms/iter traffic floor, every "
+                    "remaining paradigm measured worse; exact-semantics "
+                    "ceiling ~4.8 pair-fps on one v5e"}
 
 
 def bench_flow_gmflow():
@@ -209,7 +214,12 @@ def bench_flow_gmflow_refine():
             "value": fps, "unit": "pairs/s/chip",
             "vs_baseline": fps / NORTH_STAR_PER_CHIP,
             "note": "2-scale refinement (--num_scales 2); the tracked "
-                    "BASELINE config is the 1-scale gmflow"}
+                    "BASELINE config is the 1-scale gmflow. Round-5: 5.7 -> "
+                    "7.8 pair-fps (flash single-block 1170-token windows, "
+                    "banded-MXU local corr, one window split per layer); "
+                    "remaining budget is transformer-at-kernel-floor + the "
+                    "gather-bound _flow_warp (~35 ms) — ceiling ~8.3 "
+                    "without a Pallas warp kernel"}
 
 
 def bench_mask():
