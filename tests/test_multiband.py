@@ -128,3 +128,76 @@ def test_fused_skips_existing_band(tmp_path, monkeypatch, capsys):
     assert ran["depth_anything"] is True
     assert "skipping" in capsys.readouterr().out
     assert os.path.exists(str(tmp_path / "depth_anything.mp4"))
+
+
+@pytest.mark.slow
+def test_fused_resume_byte_identical(tmp_path, monkeypatch):
+    """Kill the fused pipeline mid-run, re-run, and the folder matches an
+    uninterrupted fused run: all bands resume at the MIN of their completed
+    segment boundaries (multiband's shared-reader resume), and every data
+    file is byte-identical (mp4s by decoded content, as in test_resume)."""
+    import gc
+
+    from prisma_tpu.bands import depth_base, multiband
+    from prisma_tpu.models import solov2
+    from prisma_tpu.runtime.config import RuntimeConfig
+    real_scale = solov2.test_scale
+    monkeypatch.setattr(
+        solov2, "test_scale",
+        lambda h, w, long_edge=160, short_edge=96: real_scale(
+            h, w, long_edge, short_edge))
+
+    os.makedirs(tmp_path / "g")
+    clip = str(tmp_path / "g" / "clip.mp4")
+    _make_video(clip, frames=8, w=64, h=48)
+    # build the rgba folder once and clone it (both runs decode the same
+    # bytes); run_fused operates on the PRISMA folder directly
+    from prisma_tpu.cli.process import main
+    main(["-i", clip, "--mask", "none", "--depth", "none", "--flow", "none"])
+    golden = str(tmp_path / "g" / "clip")
+    crashy = str(tmp_path / "crashy")
+    shutil.copytree(golden, crashy)
+
+    rt = dict(random_weights=True, compute_dtype="float32", batch_size=2,
+              segment_frames=2)
+    kw = dict(mask_on=True, mask_sdf=True, mask_subpath="mask",
+              depth_band="depth_anything",
+              depth_build={"encoder": "vits", "img_size": 126},
+              flow_band="flow_gmflow")
+
+    multiband.run_fused(golden, RuntimeConfig(**rt), **kw)
+
+    # crash after 2 batches (4 of 8 frames; 2 complete 2-frame segments for
+    # mask/depth, 1 for flow)
+    real_make_step = depth_base.make_step
+    calls = {"n": 0}
+
+    def failing_make_step(*args, **kwargs):
+        step = real_make_step(*args, **kwargs)
+
+        def wrapped(frames, *a, **k):
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt("simulated kill")
+            calls["n"] += 1
+            return step(frames, *a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(depth_base, "make_step", failing_make_step)
+    with pytest.raises(KeyboardInterrupt):
+        multiband.run_fused(crashy, RuntimeConfig(**rt), **kw)
+    monkeypatch.setattr(depth_base, "make_step", real_make_step)
+    gc.collect()  # release interrupted segment writers (close their files)
+
+    from prisma_tpu.io.video import SegmentedVideoWriter
+    assert SegmentedVideoWriter.completed_frames(
+        os.path.join(crashy, "depth_anything.mp4"), 2) == 4
+    flow_done = SegmentedVideoWriter.completed_frames(
+        os.path.join(crashy, "flow_gmflow.mp4"), 2)
+    assert flow_done == 2  # flow wrote 3 pair-frames -> 1 complete segment
+
+    multiband.run_fused(crashy, RuntimeConfig(**rt), **kw)
+    for leftover in ("depth_anything.mp4.segments", "flow_gmflow.mp4.segments",
+                     "mask.mp4.segments"):
+        assert not os.path.isdir(os.path.join(crashy, leftover))
+    _assert_equivalent(golden, crashy)
