@@ -188,17 +188,30 @@ def flash_attention(q, k, v, ids=None, region_bands=None, win_w: int = 0,
     """
     B, N, d = q.shape
     npad256 = -(-N // 256) * 256
-    if block_q is None:
-        # short rows: ONE block covering the whole (padded) row — the
-        # per-grid-step fixed cost (~2 us on v5e) dominates small tiles
-        # (GMFlow refine 1170-token windows: 5x256-row grid 18.7 ms vs one
-        # 1280-row block 9.97 ms vs dense XLA 15.3 ms at [1024, 1170, 128]);
-        # long rows: 512 tiles (measured best at the 4590/2443-token shapes)
-        block_q = npad256 if npad256 <= 1536 else \
-            (512 if N >= 2048 else DEFAULT_BLOCK_Q)
-    if block_k is None:
-        block_k = npad256 if npad256 <= 1536 else \
-            (512 if N >= 2048 else DEFAULT_BLOCK_K)
+    if block_q is None and block_k is None:
+        # auto rule, measured per regime:
+        # - short rows (npad <= 1536): ONE block covering the whole row —
+        #   the ~2 us/grid-step fixed cost dominates small tiles (GMFlow
+        #   refine 1170-token windows: 9.97 ms one-block vs 18.7 at 256 vs
+        #   15.3 dense at [1024, 1170, 128]);
+        # - mid rows (npad <= 3072, f32 score tile <= ~6.3 MB VMEM): full-K
+        #   blocks — ONE softmax round instead of chunked running-max
+        #   updates (ViT-L 2443 tokens [128, N, 64]: 2.93 ms vs 4.29 at
+        #   (512, 512));
+        # - long rows: 512 tiles (4590/5184-token shapes; full-K measured
+        #   neutral there and the tile nears the scoped-VMEM limit).
+        if npad256 <= 1536:
+            block_q = block_k = npad256
+        elif npad256 <= 3072:
+            block_k = npad256
+            block_q = 512 if npad256 % 512 == 0 else 256
+        else:
+            block_q = 512 if N >= 2048 else DEFAULT_BLOCK_Q
+            block_k = 512 if N >= 2048 else DEFAULT_BLOCK_K
+    elif block_q is None:
+        block_q = 512 if N >= 2048 else DEFAULT_BLOCK_Q
+    elif block_k is None:
+        block_k = 512 if N >= 2048 else DEFAULT_BLOCK_K
     scale = d ** -0.5  # model-dim scale, regardless of appended id lanes
 
     if ids is not None:
