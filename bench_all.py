@@ -215,11 +215,11 @@ def bench_flow_gmflow_refine():
             "vs_baseline": fps / NORTH_STAR_PER_CHIP,
             "note": "2-scale refinement (--num_scales 2); the tracked "
                     "BASELINE config is the 1-scale gmflow. Round-5: 5.7 -> "
-                    "7.8 pair-fps (flash single-block 1170-token windows, "
-                    "banded-MXU local corr, one window split per layer); "
-                    "remaining budget is transformer-at-kernel-floor + the "
-                    "gather-bound _flow_warp (~35 ms) — ceiling ~8.3 "
-                    "without a Pallas warp kernel"}
+                    "7.9 pair-fps (flash single-block 1170-token windows, "
+                    "banded-MXU local corr, one window split per layer, "
+                    "paired-column warp gather 19.9 vs 32.1 ms); remaining "
+                    "budget is the scale-1 transformer at the flash "
+                    "kernel's VPU floor — ceiling ~8.2"}
 
 
 def bench_mask():
