@@ -811,20 +811,30 @@ def local_correlation_softmax_mm(feature0, feature1, radius: int,
     n = 2 * r + 1
     scale = 1.0 / (C ** 0.5)
     f1p = jnp.pad(feature1, ((0, 0), (r, r), (r, r), (0, 0)))
-    # band one-hot: oh[w, j, dxi] = 1 iff j == w + dxi  (j indexes the padded
-    # row, dxi = dx + r; dx fast in the output, matching window_grid order)
-    j = np.arange(W + 2 * r)
-    oh = (j[None, :, None] == (np.arange(W)[:, None, None]
+    # row chunking: a width-c query chunk only needs the (c + 2r)-wide band
+    # of keys, so the [*, c, c+2r] score slab carries ~2.6x less HBM traffic
+    # than the full [*, W, W+2r] row product at the refine shape
+    chunk = next((c for c in (128, 120, 144, 96, 160) if W % c == 0), W)
+    nc = W // chunk
+    f0c = feature0.reshape(B, H, nc, chunk, C)
+    # band one-hot: oh[w, j, dxi] = 1 iff j == w + dxi  (j indexes the
+    # chunk's padded band, dxi = dx + r; dx fast, matching window_grid order)
+    j = np.arange(chunk + 2 * r)
+    oh = (j[None, :, None] == (np.arange(chunk)[:, None, None]
                                + np.arange(n)[None, None, :]))
     oh = jnp.asarray(oh, feature0.dtype)
     per_dy = []
     for dy in range(-r, r + 1):
         rows = jax.lax.slice(f1p, (0, r + dy, 0, 0),
                              (B, r + dy + H, W + 2 * r, C))
-        m = jnp.einsum("bhwc,bhjc->bhwj", feature0, rows,
+        rows_c = jnp.stack(
+            [jax.lax.slice(rows, (0, 0, k * chunk, 0),
+                           (B, H, k * chunk + chunk + 2 * r, C))
+             for k in range(nc)], axis=2)      # [B, H, nc, chunk+2r, C]
+        m = jnp.einsum("bhkwc,bhkjc->bhkwj", f0c, rows_c,
                        precision=precision)
-        per_dy.append(jnp.einsum("bhwj,wjd->bhwd", m, oh,
-                                 precision=precision))
+        per_dy.append(jnp.einsum("bhkwj,wjd->bhkwd", m, oh,
+                                 precision=precision).reshape(B, H, W, n))
     corr = jnp.concatenate(per_dy, axis=-1) * scale   # [B, H, W, n*n]
     gx = jnp.arange(W, dtype=jnp.float32)[None, :]
     gy = jnp.arange(H, dtype=jnp.float32)[:, None]
