@@ -557,6 +557,26 @@ def _pass_runner(crop, model_hw):
     return prep, accum
 
 
+# Measured full-tile-graph cost per sub-batch call on the v5e (bf16,
+# model_hw 384x512; scripts/ab_pf_subbatch.py). Sub-linear in B — batch 8
+# packs the 8-sublane dim — so the best width for a pass is NOT always the
+# slot-minimizing one (n=15: 2x8 with one pad beats 3x5 exact).
+_SUBBATCH_MS = {1: 58.0, 2: 85.0, 3: 112.0, 4: 140.9, 5: 174.8, 6: 207.8,
+                7: 221.0, 8: 234.9}
+
+
+def _plan_tile_batch(n_tiles: int, cap: int) -> int:
+    """Sub-batch width for an n_tiles pass: minimize predicted pass cost
+    ceil(n/T) * cost(T) over T <= cap, using the measured per-call table
+    (p49's 16/12/12/9 passes plan to T=8/6/6/3 — 242 ms/frame less tile
+    work than uniform T=8's 64 padded slots)."""
+    # above the measured table extrapolate at the B6->B8 marginal rate
+    # (13.4 ms/tile), so an explicit tile_batch=16 cap plans 16-wide calls
+    cost = lambda t: _SUBBATCH_MS.get(t, 234.9 + 13.4 * (t - 8))
+    return min(range(1, min(cap, n_tiles) + 1),
+               key=lambda t: (-(-n_tiles // t) * cost(t), -t))
+
+
 @functools.lru_cache(maxsize=None)
 def _pass_geometry(tiles_key, resolution, crop, model_hw, tile_batch):
     """Stacked per-pass geometry as DEVICE constants: tile offsets, area
@@ -761,8 +781,12 @@ def infer(params, image_float, mode: str = "p16", precision=None,
             off_x, off_y = pass_spec
             tiles = _tile_grid(resolution, crop, off_x, off_y)
         if fused_pass is not None:
+            # per-pass width from the measured cost model: tile_batch is the
+            # CAP (compile-unit bound), not the width — p49's 12/9-tile
+            # passes run 6/3-wide instead of padding to 8-slot sub-batches
             offs_s, areas_s, bbox_s, valid_s = _pass_geometry(
-                tuple(tiles), resolution, crop, tuple(model_hw), tile_batch)
+                tuple(tiles), resolution, crop, tuple(model_hw),
+                _plan_tile_batch(len(tiles), tile_batch))
             avg_map, count_map = fused_pass(
                 params, img_t_dev, img_lr, avg_map, count_map,
                 cache[0], cache[1], offs_s, areas_s, bbox_s, valid_s, blur,
